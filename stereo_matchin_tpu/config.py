@@ -1,0 +1,110 @@
+"""Configuration for the TPU-native stereo engine.
+
+The reference (`/root/reference/stereo_matching/main.cpp:176-177,202-205`)
+hardcodes every knob: 61 disparity hypotheses, a 33-tap support window,
+cross arms of length 25, tau=0.1, gamma pairs, penalty 0.085, r=7 aggregation
+iterations and k=6 refinement iterations.  Here they are all first-class
+config so the same pipelines scale from tsukuba (d_max=16 CPU-runnable) to
+Middlebury 2014 (~280 disparities) per BASELINE.json's config ladder.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class StereoConfig:
+    """Parameters shared by both matching pipelines.
+
+    Defaults reproduce the reference exactly (citations per field).
+    """
+
+    # Disparity hypotheses d in [0, d_max]  (main.cpp:251 -> 61 planes).
+    d_max: int = 60
+    # ASW support window radius: 33 taps = 2*16+1 (main.cpp:413, asw_vsupport.cl:19).
+    radius: int = 16
+    # Cross arm maximum length L (cross.cl: 25 unrolled checks).
+    arm_len: int = 25
+    # Cross color-similarity threshold on [0,1] RGB (cross.cl check 0.10f).
+    tau: float = 0.10
+    # ASW aggregation support-weight gammas (asw_vsupport.cl:173-175: 30.91 / 28.21).
+    gamma_c: float = 30.91
+    gamma_p: float = 28.21
+    # Refinement support-weight gammas (asw_refinement_v.cl supp_v: 10.94 / 118.78).
+    ref_gamma_c: float = 10.94
+    ref_gamma_p: float = 118.78
+    # Regularized re-WTA penalty weight (asw_wta_ref.cl:26: 0.085f).
+    penalty: float = 0.085
+    # ASW iteration counts (main.cpp:176-177: r=7 aggregation, k=6 refinement).
+    r_iters: int = 7
+    k_iters: int = 6
+    # Epsilon initialising weighted sums (asw_vcost_aggregation.cl:24-25: 0.00001).
+    eps: float = 1e-5
+    # Sentinel "infinite cost" used by the WTA scans (asw_wta.cl: 100000).
+    big: float = 1e5
+
+    # --- fidelity switches -------------------------------------------------
+    # The reference round-trips every disparity map through a UNORM8 image
+    # (write_imagef to CL_UNORM_INT8, read back *60).  True replicates that
+    # quantization so golden-image comparisons are tight.
+    quantize_maps: bool = True
+    # asw_wta_ref.cl:63-66 writes the *target* confidence into the reference
+    # confidence buffer (and never writes confidence_target).  True replicates
+    # the bug; False applies the obvious fix (documented delta vs. goldens).
+    wta_ref_conf_bug: bool = True
+    # cross.cl's check_all initialises the running arm to 1 before the first
+    # check, which makes the distance-2 similarity test a no-op: effective
+    # checks run at distances 3..L+1.  True replicates; False checks 2..L+1.
+    legacy_cross_arm_quirk: bool = True
+
+    def __post_init__(self):
+        if self.d_max < 1:
+            raise ValueError(f"d_max must be >= 1, got {self.d_max}")
+        if self.radius < 1:
+            raise ValueError(f"radius must be >= 1, got {self.radius}")
+        if self.arm_len < 2:
+            raise ValueError(f"arm_len must be >= 2, got {self.arm_len}")
+
+    @property
+    def num_disp(self) -> int:
+        return self.d_max + 1
+
+    @property
+    def window(self) -> int:
+        return 2 * self.radius + 1
+
+    def replace(self, **kw) -> "StereoConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# The exact configuration wired into the reference binary.
+REFERENCE_CONFIG = StereoConfig()
+
+# Small CPU-runnable configuration (BASELINE.json config[0]).
+TINY_CONFIG = StereoConfig(d_max=15, radius=4, arm_len=6, r_iters=2, k_iters=2)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for the sharded pipelines.
+
+    Axes:
+      batch — data parallelism over independent stereo pairs (frames).
+      row   — spatial tiling of the image height with halo exchange
+              (the sequence-parallel analogue; SURVEY.md §2.3).
+      disp  — sharding of the disparity axis of the cost volume with a
+              top-2 argmin reduction at WTA (the tensor-parallel analogue).
+    """
+
+    batch: int = 1
+    row: int = 1
+    disp: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.batch * self.row * self.disp
+
+    def axis_names(self):
+        return ("batch", "row", "disp")

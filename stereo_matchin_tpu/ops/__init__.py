@@ -1,0 +1,80 @@
+"""Pure-jnp reference ops for the TPU stereo engine.
+
+Each module mirrors one reference OpenCL kernel family (file:line citations
+in the module docstrings); these are the semantic ground truth that the
+Pallas kernels in `stereo_matchin_tpu.kernels` are tested against.
+"""
+
+from .common import (
+    in_bounds_mask,
+    quantize_disparity,
+    shift2d,
+    shift_axis,
+    stack_shift_x,
+    unorm8,
+)
+from .cost import sad_cost_volume
+from .median import median3x3
+from .cross import cross_arms
+from .support import support_weights
+from .aggregation import asw_aggregate, asw_aggregate_pass
+from .oii import (
+    combined_arms,
+    cross_aggregate,
+    integral_h,
+    integral_v,
+    oii_hcross,
+    oii_vcross,
+)
+from .vote import histogram_vote, vote_indices
+from .wta import (
+    WTAResult,
+    epipolar_target_scan,
+    two_min_scan,
+    wta,
+    wta_argmin,
+    wta_refined,
+)
+from .consistency import ConsistencyResult, consistency, red_diagnostic
+from .refinement import (
+    refine_pass_h,
+    refine_pass_v,
+    refine_view,
+    refinement_weights,
+)
+
+__all__ = [
+    "ConsistencyResult",
+    "WTAResult",
+    "asw_aggregate",
+    "asw_aggregate_pass",
+    "combined_arms",
+    "consistency",
+    "cross_aggregate",
+    "cross_arms",
+    "epipolar_target_scan",
+    "histogram_vote",
+    "in_bounds_mask",
+    "integral_h",
+    "integral_v",
+    "median3x3",
+    "oii_hcross",
+    "oii_vcross",
+    "quantize_disparity",
+    "red_diagnostic",
+    "refine_pass_h",
+    "refine_pass_v",
+    "refine_view",
+    "refinement_weights",
+    "sad_cost_volume",
+    "shift2d",
+    "shift_axis",
+    "stack_shift_x",
+    "support_weights",
+    "two_min_scan",
+    "unorm8",
+    "vote_indices",
+    "wta",
+    "wta_argmin",
+    "wta_refined",
+]

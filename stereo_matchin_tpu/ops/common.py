@@ -1,0 +1,86 @@
+"""Shared array helpers for the stereo ops.
+
+These encode the reference's OpenCL sampler semantics
+(CLK_ADDRESS_CLAMP_TO_EDGE nearest-neighbour, main.cpp:10) and the
+UNORM8 image round-trips (write_imagef to CL_UNORM_INT8 images) as
+pure, jit-friendly JAX functions with static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def shift2d(img: jax.Array, dy: int, dx: int) -> jax.Array:
+    """out[y, x] = img[clamp(y+dy), clamp(x+dx)] with clamp-to-edge.
+
+    Works on (H, W) or (H, W, C) arrays; dy/dx are static Python ints.
+    """
+    H, W = img.shape[0], img.shape[1]
+    out = img
+    if dy:
+        out = jnp.pad(out, [(max(-dy, 0), max(dy, 0))] + [(0, 0)] * (out.ndim - 1), mode="edge")
+        lo = dy + max(-dy, 0)
+        out = jax.lax.slice_in_dim(out, lo, lo + H, axis=0)
+    if dx:
+        out = jnp.pad(out, [(0, 0)] + [(max(-dx, 0), max(dx, 0))] + [(0, 0)] * (out.ndim - 2), mode="edge")
+        lo = dx + max(-dx, 0)
+        out = jax.lax.slice_in_dim(out, lo, lo + W, axis=1)
+    return out
+
+
+def shift_axis(x: jax.Array, shift: int, axis: int) -> jax.Array:
+    """out[..., i, ...] = x[..., clamp(i+shift), ...] (clamp-to-edge), static shift."""
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (max(-shift, 0), max(shift, 0))
+    out = jnp.pad(x, pad, mode="edge")
+    lo = shift + max(-shift, 0)
+    return jax.lax.slice_in_dim(out, lo, lo + n, axis=axis)
+
+
+def stack_shift_x(x: jax.Array, num_disp: int, x_axis: int = 1) -> jax.Array:
+    """Stack left-shifted, edge-clamped copies along a new leading axis.
+
+    out[d, ..., xpos, ...] = x[..., max(xpos - d, 0), ...] for d in [0, num_disp).
+
+    This reproduces the reference's right-image lookup `max(0, pos.x - pos.z)`
+    (e.g. asw_vcost_aggregation.cl:353, oii_hcross.cl:874) as static slices of
+    one replicate-padded array, which XLA fuses without gathers.
+    """
+    pad = [(0, 0)] * x.ndim
+    pad[x_axis] = (num_disp - 1, 0)
+    ext = jnp.pad(x, pad, mode="edge")
+    n = x.shape[x_axis]
+    planes = [
+        jax.lax.slice_in_dim(ext, num_disp - 1 - d, num_disp - 1 - d + n, axis=x_axis)
+        for d in range(num_disp)
+    ]
+    return jnp.stack(planes, axis=0)
+
+
+def unorm8(v: jax.Array) -> jax.Array:
+    """Round-trip a [0,1] float through an 8-bit UNORM image channel."""
+    return jnp.round(v * 255.0) / 255.0
+
+
+def quantize_disparity(d: jax.Array, d_max: int, enabled: bool = True) -> jax.Array:
+    """Round-trip a disparity (in [0, d_max] units) through a UNORM8 image.
+
+    The reference stores every disparity map as d/d_max in a CL_UNORM_INT8
+    image and reads it back multiplied by d_max (e.g. asw_wta.cl:466-470,
+    consist.cl:564-565).  Returns the value on the [0, d_max] scale.
+    """
+    if not enabled:
+        return d
+    return unorm8(d / d_max) * d_max
+
+
+def in_bounds_mask(H: int, W: int, dy: int, dx: int, dtype=jnp.bool_) -> jax.Array:
+    """Mask of pixels whose (y+dy, x+dx) neighbour lies inside the image."""
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    ok_y = (ys + dy >= 0) & (ys + dy <= H - 1)
+    ok_x = (xs + dx >= 0) & (xs + dx <= W - 1)
+    return (ok_y & ok_x).astype(dtype)
