@@ -1,0 +1,17 @@
+"""Quality metrics and golden-image regression."""
+
+from .metrics import (
+    MapComparison,
+    bad_pixel_pct,
+    compare_maps,
+    compare_to_golden,
+    golden_path,
+)
+
+__all__ = [
+    "MapComparison",
+    "bad_pixel_pct",
+    "compare_maps",
+    "compare_to_golden",
+    "golden_path",
+]

@@ -1,0 +1,14 @@
+"""Image I/O and dataset registry (replaces lodepng + pics.txt)."""
+
+from . import png
+from .datasets import BENCH_PAIRS, REGISTRY, StereoPair, get_pair, load_pair, parse_pics_txt
+
+__all__ = [
+    "BENCH_PAIRS",
+    "REGISTRY",
+    "StereoPair",
+    "get_pair",
+    "load_pair",
+    "parse_pics_txt",
+    "png",
+]

@@ -1,0 +1,59 @@
+"""End-to-end golden regression: pipelines vs. the reference's committed
+artifacts (SURVEY.md §4.1).  Thresholds are set from measured round-1
+fidelity (cross initial 99.8% exact / ASW final 99.75% exact on tsukuba)
+with slack for float reassociation; real regressions blow well past them.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stereo_matchin_tpu import REFERENCE_CONFIG
+from stereo_matchin_tpu.eval import compare_to_golden
+from stereo_matchin_tpu.io import get_pair, load_pair
+from stereo_matchin_tpu.models import asw, cross_based
+
+pytestmark = pytest.mark.skipif(
+    not get_pair("tsukuba").exists(), reason="reference checkout not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def tsukuba():
+    left, right = load_pair("tsukuba")
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+def test_cross_pipeline_matches_goldens(tsukuba):
+    left, right = tsukuba
+    res = cross_based.cross_pipeline(left, right, REFERENCE_CONFIG)
+    initial = compare_to_golden(np.asarray(res.initial), "tsukuba",
+                                "cross_based_initial.png")
+    final = compare_to_golden(np.asarray(res.final), "tsukuba",
+                              "cross_based_disparity.png")
+    assert initial.exact_pct > 99.0, initial
+    assert initial.bad2_pct < 0.5, initial
+    assert final.exact_pct > 95.0, final
+    assert final.bad2_pct < 1.0, final
+
+
+def test_asw_pipeline_matches_goldens(tsukuba):
+    left, right = tsukuba
+    res = asw.asw_pipeline(left, right, REFERENCE_CONFIG)
+    final = compare_to_golden(np.asarray(res.disparity), "tsukuba",
+                              "asw_disparity.png")
+    assert final.exact_pct > 99.0, final
+    assert final.bad2_pct < 0.5, final
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("pair", ["teddy", "cones", "art", "laundry"])
+def test_asw_other_pairs(pair):
+    left, right = load_pair(pair)
+    res = asw.asw_pipeline(jnp.asarray(left), jnp.asarray(right),
+                           REFERENCE_CONFIG)
+    final = compare_to_golden(np.asarray(res.disparity), pair,
+                              "asw_disparity.png")
+    assert final.exact_pct > 97.0, f"{pair}: {final}"
+    assert final.bad2_pct < 1.0, f"{pair}: {final}"
