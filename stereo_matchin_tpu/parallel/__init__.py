@@ -1,0 +1,26 @@
+"""Multi-chip scaling: meshes, halo exchange, sharded pipelines."""
+
+from .mesh import AXIS_BATCH, AXIS_DISP, AXIS_ROW, build_mesh
+from .halo import crop_halo, exchange_halo
+from .asw_sharded import ShardedASWResult, make_asw_sharded
+from .wta_sharded import (
+    TwoMin,
+    two_min_combine,
+    wta_refined_sharded,
+    wta_sharded,
+)
+
+__all__ = [
+    "AXIS_BATCH",
+    "AXIS_DISP",
+    "AXIS_ROW",
+    "ShardedASWResult",
+    "TwoMin",
+    "build_mesh",
+    "crop_halo",
+    "exchange_halo",
+    "make_asw_sharded",
+    "two_min_combine",
+    "wta_refined_sharded",
+    "wta_sharded",
+]

@@ -1,0 +1,64 @@
+"""Sharded-vs-single-device equality tests on the virtual 8-CPU mesh.
+
+SURVEY.md §4's strategy: tiling + halo logic is validated by tiled-vs-
+untiled equality against the jitted single-device pipeline.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stereo_matchin_tpu import MeshConfig, StereoConfig
+from stereo_matchin_tpu.models import asw
+from stereo_matchin_tpu.parallel import build_mesh, make_asw_sharded
+
+CFG = StereoConfig(d_max=10, radius=3, arm_len=4, r_iters=2, k_iters=2)
+H, W, B = 24, 20, 2
+
+
+@pytest.fixture(scope="module")
+def pair(request):
+    rng = np.random.default_rng(7)
+    left = (rng.integers(0, 256, (B, H, W, 3)) / np.float32(255.0)).astype(
+        np.float32)
+    right = np.roll(left, -3, axis=2)
+    noise = rng.integers(-10, 11, right.shape) / np.float32(255.0)
+    right = np.clip(np.round((right + noise) * 255) / 255.0, 0, 1).astype(
+        np.float32)
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+@pytest.fixture(scope="module")
+def reference(pair):
+    left, right = pair
+    ref = jax.vmap(lambda l, r: asw.asw_pipeline(l, r, CFG))(left, right)
+    return jax.tree.map(np.asarray, ref)
+
+
+@pytest.mark.parametrize(
+    "mesh_cfg",
+    [
+        MeshConfig(batch=1, row=4, disp=1),
+        MeshConfig(batch=2, row=1, disp=1),
+        MeshConfig(batch=1, row=1, disp=4),
+        MeshConfig(batch=2, row=2, disp=2),
+        MeshConfig(batch=1, row=2, disp=4),
+    ],
+    ids=lambda m: f"b{m.batch}r{m.row}d{m.disp}",
+)
+def test_sharded_asw_matches_single_device(pair, reference, mesh_cfg):
+    left, right = pair
+    mesh = build_mesh(mesh_cfg)
+    f = make_asw_sharded(CFG, mesh)
+    got = jax.tree.map(np.asarray, f(left, right))
+
+    np.testing.assert_array_equal(got.wta_left, reference.wta_left)
+    np.testing.assert_array_equal(got.wta_right, reference.wta_right)
+    np.testing.assert_array_equal(got.filled, reference.filled)
+    np.testing.assert_array_equal(got.disparity, reference.disparity)
+    np.testing.assert_array_equal(got.consistency_pre,
+                                  reference.consistency_pre)
+    np.testing.assert_array_equal(got.consistency_post,
+                                  reference.consistency_post)
