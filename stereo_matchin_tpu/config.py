@@ -59,6 +59,11 @@ class StereoConfig:
     # checks run at distances 3..L+1.  True replicates; False checks 2..L+1.
     legacy_cross_arm_quirk: bool = True
 
+    # --- backend selection -------------------------------------------------
+    # "auto": Pallas TPU kernels on TPU backends, pure-jnp elsewhere;
+    # "jnp" / "pallas" force one path.  Results are bit-identical in f32.
+    kernels: str = "auto"
+
     def __post_init__(self):
         if self.d_max < 1:
             raise ValueError(f"d_max must be >= 1, got {self.d_max}")

@@ -1,0 +1,177 @@
+"""Fused Pallas TPU kernels for the iterated ASW cost aggregation.
+
+This is the reference's hot loop — 79-95% of ASW runtime
+(`asw_vcost_aggregation.cl` / `asw_hcost_aggregation.cl`, enqueued r=7
+times, SURVEY.md §3.5).  Semantics are identical to
+`ops.asw_aggregate_pass` (tests pin bit-exactness in f32); only the
+schedule changes:
+
+  * grid = (row_blocks, D) with D innermost, so each program's support
+    weight blocks — the big operands — stay resident in VMEM across all
+    61 disparity planes (Pallas skips re-fetching blocks whose index map
+    is unchanged), cutting weight traffic from O(D * W * H * T) to one
+    pass per row block;
+  * the per-disparity right-weight shift max(x-d, 0) is a dynamic lane
+    rotate (pltpu.roll) plus an edge-clamp select, not a gather (Mosaic
+    cannot dynamically slice the lane dimension at arbitrary offsets);
+  * the 33-tap vertical reach is served by passing the row-padded cost
+    volume twice with consecutive block index maps (rows i and i+1), so
+    every operand is a plain auto-pipelined BlockSpec — no manual DMA;
+  * the 33-tap loop is unrolled in-register: VPU multiply-accumulates,
+    one divide at the end.
+
+The kernels are exact in f32.  For the disp-sharded path, pass the traced
+global offset via `d0` so the rotate uses d0 + d.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift_weights(wr, d, y_block: int, W: int, interpret: bool):
+    """wr: (T, y_b, W) right support strip -> strip shifted to max(x-d, 0).
+
+    Mosaic cannot dynamically slice the 128-lane dimension at arbitrary
+    offsets, so the shift is a dynamic lane rotate (tpu.dynamic_rotate via
+    pltpu.roll) plus an edge-clamp fixup of the first d columns.
+    """
+    roll = jnp.roll if interpret else pltpu.roll
+    rolled = roll(wr, d, axis=2)                 # out[x] = wr[(x-d) mod W]
+    lane = lax.broadcasted_iota(jnp.int32, (y_block, W), 1)
+    return jnp.where(lane[None] < d, wr[:, :, :1], rolled)
+
+
+def _v_kernel(wl_ref, wr_ref, ca_ref, cb_ref, out_ref, *, radius: int,
+              eps: float, y_block: int, interpret: bool):
+    """One (row_block, d) program of the vertical pass."""
+    d = pl.program_id(1)
+    T = 2 * radius + 1
+    wl = wl_ref[:]                                   # (T, y_b, W)
+    W = out_ref.shape[2]
+    wr = _shift_weights(wr_ref[:], d, y_block, W, interpret)
+    cost2 = jnp.concatenate([ca_ref[0], cb_ref[0]], axis=0)  # (2*y_b, W)
+    num = jnp.full((y_block, W), eps, out_ref.dtype)
+    den = jnp.full((y_block, W), eps, out_ref.dtype)
+    for t in range(T):
+        ww = wl[t] * wr[t]
+        num = num + ww * cost2[t:t + y_block]
+        den = den + ww
+    out_ref[0] = num / den
+
+
+def _h_kernel(wl_ref, wr_ref, c_ref, out_ref, *, radius: int,
+              eps: float, y_block: int, interpret: bool):
+    """One (row_block, d) program of the horizontal pass."""
+    d = pl.program_id(1)
+    T = 2 * radius + 1
+    W = out_ref.shape[2]
+    wl = wl_ref[:]
+    wr = _shift_weights(wr_ref[:], d, y_block, W, interpret)
+    c = c_ref[0]                                     # (y_b, W)
+    cpad = jnp.concatenate(
+        [jnp.broadcast_to(c[:, :1], (y_block, radius)), c,
+         jnp.broadcast_to(c[:, -1:], (y_block, radius))], axis=1)
+    num = jnp.full((y_block, W), eps, out_ref.dtype)
+    den = jnp.full((y_block, W), eps, out_ref.dtype)
+    for t in range(T):
+        ww = wl[t] * wr[t]
+        num = num + ww * cpad[:, t:t + W]
+        den = den + ww
+    out_ref[0] = num / den
+
+
+def _pick_y_block(H: int, radius: int) -> int:
+    """Smallest block >= 2R (VMEM: weight blocks are double-buffered, so
+    y_block=32 keeps the T-strip pair under ~8 MB) that divides H."""
+    for b in (32, 48, 64, 96, 72, 16, 8):
+        if H % b == 0 and b >= 2 * radius:
+            return b
+    if H >= 2 * radius:
+        return H
+    raise ValueError(f"image height {H} smaller than window {2 * radius}")
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret"))
+def asw_vpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
+                     interpret: bool = False):
+    """Vertical pass: cost (D, H, W), weights (T, H, W) -> (D, H, W)."""
+    D, H, W = cost.shape
+    y_b = _pick_y_block(H, radius)
+    n_y = H // y_b
+    # Rows pre-padded by R (edge) on top; bottom padded to (n_y + 1) blocks
+    # so the second (i+1) cost operand's last block exists.
+    total = (n_y + 1) * y_b
+    cost_p = jnp.pad(cost, [(0, 0), (radius, radius), (0, 0)], mode="edge")
+    cost_p = jnp.pad(cost_p, [(0, 0), (0, total - (H + 2 * radius)), (0, 0)])
+    T = 2 * radius + 1
+
+    kernel = functools.partial(_v_kernel, radius=radius,
+                               eps=eps, y_block=y_b, interpret=interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_y, D),
+        in_specs=[
+            pl.BlockSpec((T, y_b, W), lambda i, d: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, y_b, W), lambda i, d: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, y_b, W), lambda i, d: (d, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, y_b, W), lambda i, d: (d, i + 1, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, y_b, W), lambda i, d: (d, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, H, W), cost.dtype),
+        interpret=interpret,
+    )(w_left, w_right, cost_p, cost_p)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret"))
+def asw_hpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
+                     interpret: bool = False):
+    """Horizontal pass: cost (D, H, W), weights (T, H, W) -> (D, H, W)."""
+    D, H, W = cost.shape
+    y_b = _pick_y_block(H, radius)
+    n_y = H // y_b
+    T = 2 * radius + 1
+
+    kernel = functools.partial(_h_kernel, radius=radius,
+                               eps=eps, y_block=y_b, interpret=interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_y, D),
+        in_specs=[
+            pl.BlockSpec((T, y_b, W), lambda i, d: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, y_b, W), lambda i, d: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, y_b, W), lambda i, d: (d, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, y_b, W), lambda i, d: (d, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, H, W), cost.dtype),
+        interpret=interpret,
+    )(w_left, w_right, cost)
+
+
+def asw_aggregate_pallas(cost, wv_left, wv_right, wh_left, wh_right,
+                         radius: int, r_iters: int, eps: float = 1e-5,
+                         interpret: bool = False):
+    """r_iters x (vertical -> horizontal), same wiring as main.cpp:492-515."""
+
+    def body(c, _):
+        cv = asw_vpass_pallas(c, wv_left, wv_right, radius, eps, interpret)
+        ch = asw_hpass_pallas(cv, wh_left, wh_right, radius, eps, interpret)
+        return ch, None
+
+    out, _ = lax.scan(body, cost, None, length=r_iters)
+    return out

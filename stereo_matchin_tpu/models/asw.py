@@ -33,6 +33,15 @@ from .. import ops
 from ..config import StereoConfig
 
 
+def _use_pallas(cfg: StereoConfig) -> bool:
+    if cfg.kernels == "pallas":
+        return True
+    if cfg.kernels == "jnp":
+        return False
+    # "auto": Pallas only on TPU backends (the axon plugin reports "axon").
+    return jax.default_backend() in ("tpu", "axon")
+
+
 class ASWResult(NamedTuple):
     disparity: jax.Array          # (H, W) [0,1] image — asw_disparity.png (median-filtered)
     filled: jax.Array             # (H, W) [0,1] image — occlusion-filled, pre-median
@@ -61,10 +70,16 @@ def asw_pipeline_impl(left: jax.Array, right: jax.Array,
     wv_r = ops.support_weights(right, R, cfg.gamma_c, cfg.gamma_p, axis=0)
     wh_r = ops.support_weights(right, R, cfg.gamma_c, cfg.gamma_p, axis=1)
 
-    aggr = ops.asw_aggregate(cost0, wv_l, wv_r, wh_l, wh_r, R,
-                             cfg.r_iters, cfg.eps)
+    if _use_pallas(cfg):
+        from ..kernels.asw_aggregation import asw_aggregate_pallas
 
-    res = ops.wta(aggr, big=cfg.big)
+        aggr = asw_aggregate_pallas(cost0, wv_l, wv_r, wh_l, wh_r, R,
+                                    cfg.r_iters, cfg.eps)
+    else:
+        aggr = ops.asw_aggregate(cost0, wv_l, wv_r, wh_l, wh_r, R,
+                                 cfg.r_iters, cfg.eps)
+
+    res = ops.wta_fast(aggr, big=cfg.big)
     wta_left_img = _to_image(res.disp_ref, cfg)
     wta_right_img = _to_image(res.disp_target, cfg)
 
@@ -82,8 +97,8 @@ def asw_pipeline_impl(left: jax.Array, right: jax.Array,
         filled_q, right_q, conf_ref, conf_tar = state
         val_l, den_l = ops.refine_view(rv_l, rh_l, filled_q, conf_ref, R, cfg.eps)
         val_r, den_r = ops.refine_view(rv_r, rh_r, right_q, conf_tar, R, cfg.eps)
-        r = ops.wta_refined(aggr, val_l, den_l, val_r, den_r,
-                            cfg.penalty, big=cfg.big)
+        r = ops.wta_refined_fast(aggr, val_l, den_l, val_r, den_r,
+                                 cfg.penalty, big=cfg.big)
         if cfg.wta_ref_conf_bug:
             # asw_wta_ref.cl:63-66: reference confidence gets the TARGET
             # confidence; the target buffer keeps its previous value.

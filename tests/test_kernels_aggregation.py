@@ -1,0 +1,59 @@
+"""Pallas ASW aggregation kernels vs the pure-jnp ops (interpret mode on CPU).
+
+Bit-exactness in f32 is required: the kernels reorder nothing — same tap
+order, same eps-seeded accumulators, same divide.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stereo_matchin_tpu import ops
+from stereo_matchin_tpu.kernels.asw_aggregation import (
+    asw_aggregate_pallas,
+    asw_hpass_pallas,
+    asw_vpass_pallas,
+)
+
+D, H, W, R = 7, 64, 128, 4
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    left = (rng.integers(0, 256, (H, W, 3)) / np.float32(255.0)).astype(
+        np.float32)
+    right = np.roll(left, -2, axis=1)
+    cost = np.asarray(
+        ops.sad_cost_volume(jnp.asarray(left), jnp.asarray(right), D, 255.0))
+    wv_l = np.asarray(ops.support_weights(jnp.asarray(left), R, 30.91, 28.21, 0))
+    wv_r = np.asarray(ops.support_weights(jnp.asarray(right), R, 30.91, 28.21, 0))
+    wh_l = np.asarray(ops.support_weights(jnp.asarray(left), R, 30.91, 28.21, 1))
+    wh_r = np.asarray(ops.support_weights(jnp.asarray(right), R, 30.91, 28.21, 1))
+    return tuple(jnp.asarray(a) for a in (cost, wv_l, wv_r, wh_l, wh_r))
+
+
+def test_vpass_matches_ops(data):
+    cost, wv_l, wv_r, _, _ = data
+    want, _ = ops.asw_aggregate_pass(cost, wv_l, wv_r, axis=1, radius=R)
+    got = asw_vpass_pallas(cost, wv_l, wv_r, R, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_hpass_matches_ops(data):
+    cost, _, _, wh_l, wh_r = data
+    want, _ = ops.asw_aggregate_pass(cost, wh_l, wh_r, axis=2, radius=R)
+    got = asw_hpass_pallas(cost, wh_l, wh_r, R, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_full_aggregate_matches_ops(data):
+    cost, wv_l, wv_r, wh_l, wh_r = data
+    want = ops.asw_aggregate(cost, wv_l, wv_r, wh_l, wh_r, R, r_iters=3)
+    got = asw_aggregate_pallas(cost, wv_l, wv_r, wh_l, wh_r, R, r_iters=3,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

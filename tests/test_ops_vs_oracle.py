@@ -183,3 +183,65 @@ def test_wta_argmin(rng):
     cost = rng.uniform(0, 3, (D, H, W)).astype(np.float32)
     got = np.asarray(ops.wta_argmin(jnp.asarray(cost)))
     np.testing.assert_array_equal(got, np.argmin(cost, axis=0).astype(np.float32))
+
+
+def test_wta_fast_matches_wta(rng):
+    left, right = _rand_pair(rng)
+    cost = oracle.sad_cost_volume(left, right, D, 255.0)
+    slow = ops.wta(jnp.asarray(cost))
+    fast = ops.wta_fast(jnp.asarray(cost))
+    for a, b in zip(slow, fast):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_wta_refined_fast_matches_wta_refined(rng):
+    left, right = _rand_pair(rng)
+    cost = oracle.sad_cost_volume(left, right, D, 255.0)
+    rv = rng.uniform(0, D - 1, (H, W)).astype(np.float32)
+    rd = rng.uniform(0.5, 40.0, (H, W)).astype(np.float32)
+    rvt = rng.uniform(0, D - 1, (H, W)).astype(np.float32)
+    rdt = rng.uniform(0.5, 40.0, (H, W)).astype(np.float32)
+    slow = ops.wta_refined(jnp.asarray(cost), jnp.asarray(rv), jnp.asarray(rd),
+                           jnp.asarray(rvt), jnp.asarray(rdt), penalty=0.085)
+    fast = ops.wta_refined_fast(jnp.asarray(cost), jnp.asarray(rv),
+                                jnp.asarray(rd), jnp.asarray(rvt),
+                                jnp.asarray(rdt), penalty=0.085)
+    # Disparities bit-exact; confidences may differ by 1 ulp (XLA fuses the
+    # penalty multiply-add differently between the two formulations).
+    np.testing.assert_array_equal(np.asarray(slow.disp_ref),
+                                  np.asarray(fast.disp_ref))
+    np.testing.assert_array_equal(np.asarray(slow.disp_target),
+                                  np.asarray(fast.disp_target))
+    np.testing.assert_allclose(np.asarray(slow.conf_ref),
+                               np.asarray(fast.conf_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(slow.conf_target),
+                               np.asarray(fast.conf_target), rtol=1e-6)
+
+
+def test_wta_fast_edge_cases():
+    # Monotone-increasing planes -> d1 = 0 everywhere (no target probes);
+    # duplicate minima -> conf 0; big-valued planes never tracked.
+    cost = np.ones((5, 6, 40), np.float32)
+    cost[0] = 0.5
+    cost[3] = 0.5  # duplicate min
+    cost[4] = 2e5  # above big
+    slow = ops.wta(jnp.asarray(cost))
+    fast = ops.wta_fast(jnp.asarray(cost))
+    for a, b in zip(slow, fast):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gather_diagonal_mxu_matches_take(rng):
+    import importlib
+
+    wf = importlib.import_module("stereo_matchin_tpu.ops.wta_fast")
+    cost = rng.uniform(0, 700, (D, H, W)).astype(np.float32)
+    d1 = rng.integers(0, D, (H, W)).astype(np.int32)
+    c = jnp.asarray(cost)
+    dd = jnp.asarray(d1)
+    xs = np.arange(W)[None, :]
+    bs = np.arange(D)[:, None, None]
+    idx = np.clip(xs[None] - d1[None] + bs, 0, W - 1)
+    want = np.take_along_axis(cost, idx, axis=2)
+    got = np.asarray(wf._gather_diagonal_mxu(c, dd))
+    np.testing.assert_array_equal(got, want)
