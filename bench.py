@@ -47,8 +47,9 @@ def main() -> int:
     if args.method == "asw":
         fn = jax.jit(lambda l, r: asw.asw_pipeline_impl(l, r, cfg).disparity)
     else:
-        fn = jax.jit(
-            lambda l, r: cross_based.cross_pipeline_impl(l, r, cfg).final)
+        # cross_pipeline picks the stage-jitted path on TPU (the fused
+        # program's XLA optimization takes ~670 s there).
+        fn = lambda l, r: cross_based.cross_pipeline(l, r, cfg).final  # noqa: E731
 
     # Warmup/compile.  NOTE: under the axon relay block_until_ready returns
     # before the device finishes, so all timing brackets a host fetch of the

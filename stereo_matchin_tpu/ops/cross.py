@@ -19,31 +19,46 @@ v_minus, v_plus) with the minus arms stored negative.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
-from .common import in_bounds_mask, shift2d
-
-
-def _arm_length(img, dy: int, dx: int, arm_len: int, tau: float, legacy_quirk: bool):
-    H, W = img.shape[0], img.shape[1]
-    arm = jnp.ones((H, W), jnp.int32)
-    alive = jnp.ones((H, W), jnp.bool_)
-    first_dist = 3 if legacy_quirk else 2
-    for k, dist in enumerate(range(first_dist, arm_len + 2)):
-        if k >= arm_len - 1:
-            break  # arm saturates at arm_len
-        nb = shift2d(img, dy * dist, dx * dist)
-        sim = jnp.all(jnp.abs(nb - img) < tau, axis=-1)
-        inb = in_bounds_mask(H, W, dy * dist, dx * dist)
-        alive = alive & sim & inb
-        arm = arm + alive.astype(jnp.int32)
-    return arm
+# (dy, dx) per output plane: h-, h+, v-, v+.
+_DIRS = ((0, -1), (0, 1), (-1, 0), (1, 0))
 
 
 def cross_arms(img, arm_len: int = 25, tau: float = 0.10, legacy_quirk: bool = True):
-    """img: (H, W, 3) in [0,1]. Returns (4, H, W) int32 arm planes."""
-    h_minus = _arm_length(img, 0, -1, arm_len, tau, legacy_quirk)
-    h_plus = _arm_length(img, 0, 1, arm_len, tau, legacy_quirk)
-    v_minus = _arm_length(img, -1, 0, arm_len, tau, legacy_quirk)
-    v_plus = _arm_length(img, 1, 0, arm_len, tau, legacy_quirk)
-    return jnp.stack([-h_minus, h_plus, -v_minus, v_plus], axis=0)
+    """img: (H, W, 3) in [0,1]. Returns (4, H, W) int32 arm planes.
+
+    One `fori_loop` over the walk distance with all four directions per
+    step (a compact graph — the unrolled-per-direction version made XLA's
+    full-pipeline compile explode).  Neighbour reads are dynamic slices of
+    one edge-padded channels-first copy.
+    """
+    H, W = img.shape[0], img.shape[1]
+    p = jnp.moveaxis(img, -1, 0)                       # (3, H, W)
+    M = arm_len + 1
+    ext = jnp.pad(p, [(0, 0), (M, M), (M, M)], mode="edge")
+    ys = jnp.arange(H, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(W, dtype=jnp.int32)[None, :]
+    first_dist = 3 if legacy_quirk else 2
+
+    def body(k, state):
+        arm, alive = state
+        dist = k + first_dist
+        new_arm, new_alive = [], []
+        for i, (dy, dx) in enumerate(_DIRS):
+            nb = lax.dynamic_slice(ext, (0, M + dy * dist, M + dx * dist),
+                                   (3, H, W))
+            sim = jnp.all(jnp.abs(nb - p) < tau, axis=0)
+            ny, nx = ys + dy * dist, xs + dx * dist
+            inb = (ny >= 0) & (ny <= H - 1) & (nx >= 0) & (nx <= W - 1)
+            a = alive[i] & sim & inb
+            new_alive.append(a)
+            new_arm.append(arm[i] + a.astype(jnp.int32))
+        return jnp.stack(new_arm), jnp.stack(new_alive)
+
+    init = (jnp.ones((4, H, W), jnp.int32), jnp.ones((4, H, W), jnp.bool_))
+    arm, _ = lax.fori_loop(0, arm_len - 1, body, init)
+    sign = jnp.array([-1, 1, -1, 1], jnp.int32)[:, None, None]
+    return sign * arm

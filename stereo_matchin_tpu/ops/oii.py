@@ -25,6 +25,7 @@ Faithful quirks (all from the .cl sources):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .common import stack_shift_x
@@ -88,7 +89,56 @@ def oii_vcross(temp_prefix_v, arms_l, arms_r):
     return _windowed_mean_from_prefix(temp_prefix_v, minus, plus, axis=1)
 
 
-def cross_aggregate(cost, arms_l, arms_r):
-    """Full OII chain: integral_h -> Oii_hcross -> integral_v -> Oii_vcross."""
-    temp = oii_hcross(integral_h(cost), arms_l, arms_r)
-    return oii_vcross(integral_v(temp), arms_l, arms_r)
+def _windowed_mean_taps(vol, minus_arm, plus_arm, arm_len: int, axis: int):
+    """Tap-sum evaluation of the same index set the prefix difference reads.
+
+    sum over positions c in (max(0, i+minus-1), min(n-1, i+plus)], i.e.
+    taps j in [-L, L] masked by (j >= minus) & (j <= plus) & (1 <= i+j <=
+    n-1) — note position 0 is always excluded, reproducing the reference's
+    `max(0, i+minus-1)` lower-prefix quirk.  Gather-free: 2L+1 static
+    shifts with masks, which XLA fuses into one pass on TPU (the gather
+    formulation is ~50x slower there).  Float sum order differs from the
+    prefix difference (the reference's own in-order device sums differ
+    from both); quality deltas are covered by the golden tolerances.
+    """
+    n = vol.shape[axis]
+    if axis == 2:
+        idx = jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    else:
+        idx = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    pad = [(0, 0)] * 3
+    pad[axis] = (arm_len, arm_len)
+    ext = jnp.pad(vol, pad)
+    total = None
+    for j in range(-arm_len, arm_len + 1):
+        tap = jax.lax.slice_in_dim(ext, arm_len + j, arm_len + j + n,
+                                   axis=axis)
+        c = idx + j
+        m = ((j >= minus_arm) & (j <= plus_arm) & (c >= 1) & (c <= n - 1))
+        term = jnp.where(m, tap, 0.0)
+        total = term if total is None else total + term
+    delta = (plus_arm - minus_arm).astype(vol.dtype)
+    return total / delta
+
+
+def cross_aggregate(cost, arms_l, arms_r, arm_len: int = 25,
+                    impl: str = "auto"):
+    """Full adaptive-cross aggregation (Integral_h -> Oii_hcross ->
+    Integral_v -> Oii_vcross).
+
+    arm_len: static bound on arm length (StereoConfig.arm_len) — sizes the
+    tap range of the "taps" implementation.
+    impl: "prefix" = cumsum + arm-indexed gathers (mirrors the reference's
+    integral-image reads); "taps" = masked static shifts (TPU-fast, same
+    index sets, different float sum order); "auto" picks by backend.
+    """
+    if impl == "auto":
+        impl = "taps" if jax.default_backend() in ("tpu", "axon") else "prefix"
+    if impl == "prefix":
+        temp = oii_hcross(integral_h(cost), arms_l, arms_r)
+        return oii_vcross(integral_v(temp), arms_l, arms_r)
+    D = cost.shape[0]
+    hm, hp = combined_arms(arms_l, arms_r, D, plane_minus=0, plane_plus=1)
+    vm, vp = combined_arms(arms_l, arms_r, D, plane_minus=2, plane_plus=3)
+    temp = _windowed_mean_taps(cost, hm, hp, arm_len, axis=2)
+    return _windowed_mean_taps(temp, vm, vp, arm_len, axis=1)

@@ -17,6 +17,7 @@ unlike the OII kernels' index-clamped prefix reads).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .common import unorm8
@@ -65,27 +66,60 @@ def _clamped_window_sum(prefix, raw, minus_arm, plus_arm, axis: int):
     return in_range + extra_lo + extra_hi
 
 
-def histogram_vote(disp_img, arms_l, d_max: int, quantize: bool = True):
+def _clamped_window_taps(vol, minus_arm, plus_arm, arm_len: int, axis: int):
+    """sum_{j=minus..plus} vol[clamp(i+j)] as 2L+1 masked static shifts.
+
+    Exactly the reference's sampler loop (integer counts — bit-identical
+    to the prefix formulation), but gather-free for TPU.
+    """
+    n = vol.shape[axis]
+    pad = [(0, 0)] * 3
+    pad[axis] = (arm_len, arm_len)
+    ext = jnp.pad(vol, pad, mode="edge")  # clamp: border re-counted
+    total = None
+    for j in range(-arm_len, arm_len + 1):
+        tap = jax.lax.slice_in_dim(ext, arm_len + j, arm_len + j + n,
+                                   axis=axis)
+        m = (j >= minus_arm) & (j <= plus_arm)
+        term = jnp.where(m, tap, 0)
+        total = term if total is None else total + term
+    return total
+
+
+def histogram_vote(disp_img, arms_l, d_max: int, quantize: bool = True,
+                   arm_len: int = 25, impl: str = "auto"):
     """`Disparity`: mode of the initial disparity over the adaptive cross.
 
     disp_img: (H, W) stored image value in [0,1] (d/d_max after UNORM8).
     arms_l: (4, H, W) int32 left-image arms [h-, h+, v-, v+], minus negative.
+    arm_len: static arm bound (sizes the taps implementation).
+    impl: "prefix" (cumsum + gathers, edge-corrected), "taps" (masked
+    static shifts — integer-identical, TPU-fast), or "auto" by backend.
     Returns the refined disparity as a stored image value in [0,1].
     """
+    if impl == "auto":
+        impl = "taps" if jax.default_backend() in ("tpu", "axon") else "prefix"
     num_disp = d_max + 1
     idx = vote_indices(disp_img, d_max)                      # (H, W) int32
     ds = jnp.arange(num_disp, dtype=jnp.int32)[:, None, None]
     indicator = (idx[None] == ds).astype(jnp.int32)          # (D, H, W)
 
-    # Horizontal pass: per-row counts using each row's own h arms.
     h_minus, h_plus = arms_l[0][None], arms_l[1][None]
-    row_prefix = jnp.cumsum(indicator, axis=2)
-    row_counts = _clamped_window_sum(row_prefix, indicator, h_minus, h_plus, axis=2)
-
-    # Vertical pass: anchor-pixel v arms over the per-row counts.
     v_minus, v_plus = arms_l[2][None], arms_l[3][None]
-    col_prefix = jnp.cumsum(row_counts, axis=1)
-    tab = _clamped_window_sum(col_prefix, row_counts, v_minus, v_plus, axis=1)
+    if impl == "taps":
+        row_counts = _clamped_window_taps(indicator, h_minus, h_plus,
+                                          arm_len, axis=2)
+        tab = _clamped_window_taps(row_counts, v_minus, v_plus,
+                                   arm_len, axis=1)
+    else:
+        # Horizontal pass: per-row counts using each row's own h arms.
+        row_prefix = jnp.cumsum(indicator, axis=2)
+        row_counts = _clamped_window_sum(row_prefix, indicator, h_minus,
+                                         h_plus, axis=2)
+        # Vertical pass: anchor-pixel v arms over the per-row counts.
+        col_prefix = jnp.cumsum(row_counts, axis=1)
+        tab = _clamped_window_sum(col_prefix, row_counts, v_minus, v_plus,
+                                  axis=1)
 
     # Mode with ties to the highest disparity (disparity.cl:39-42 select pair).
     mode = (num_disp - 1) - jnp.argmax(tab[::-1], axis=0).astype(jnp.int32)

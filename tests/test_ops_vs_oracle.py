@@ -245,3 +245,29 @@ def test_gather_diagonal_mxu_matches_take(rng):
     want = np.take_along_axis(cost, idx, axis=2)
     got = np.asarray(wf._gather_diagonal_mxu(c, dd))
     np.testing.assert_array_equal(got, want)
+
+
+def test_oii_taps_matches_prefix(rng):
+    left, right = _rand_pair(rng)
+    arms_l = oracle.cross_arms(left, L, TAU, True)
+    arms_r = oracle.cross_arms(right, L, TAU, True)
+    cost = oracle.sad_cost_volume(left, right, D, 1.0)
+    prefix = ops.cross_aggregate(jnp.asarray(cost), jnp.asarray(arms_l),
+                                 jnp.asarray(arms_r), arm_len=L, impl="prefix")
+    taps = ops.cross_aggregate(jnp.asarray(cost), jnp.asarray(arms_l),
+                               jnp.asarray(arms_r), arm_len=L, impl="taps")
+    np.testing.assert_allclose(np.asarray(taps), np.asarray(prefix),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_vote_taps_matches_prefix(rng):
+    left, _ = _rand_pair(rng)
+    arms_l = oracle.cross_arms(left, L, TAU, True)
+    d_max = D - 1
+    raw = rng.integers(0, D, size=(H, W)).astype(np.float32)
+    disp_img = np.round(raw / d_max * 255) / np.float32(255.0)
+    prefix = ops.histogram_vote(jnp.asarray(disp_img), jnp.asarray(arms_l),
+                                d_max, arm_len=L, impl="prefix")
+    taps = ops.histogram_vote(jnp.asarray(disp_img), jnp.asarray(arms_l),
+                              d_max, arm_len=L, impl="taps")
+    np.testing.assert_array_equal(np.asarray(taps), np.asarray(prefix))

@@ -57,3 +57,16 @@ def test_asw_other_pairs(pair):
                               "asw_disparity.png")
     assert final.exact_pct > 97.0, f"{pair}: {final}"
     assert final.bad2_pct < 1.0, f"{pair}: {final}"
+
+
+def test_cross_staged_matches_fused(tsukuba):
+    from stereo_matchin_tpu.models.cross_based import (
+        cross_pipeline_fused, cross_pipeline_staged)
+
+    left, right = tsukuba
+    fused = cross_pipeline_fused(left, right, REFERENCE_CONFIG)
+    staged = cross_pipeline_staged(left, right, REFERENCE_CONFIG)
+    np.testing.assert_array_equal(np.asarray(staged.initial),
+                                  np.asarray(fused.initial))
+    np.testing.assert_array_equal(np.asarray(staged.final),
+                                  np.asarray(fused.final))
