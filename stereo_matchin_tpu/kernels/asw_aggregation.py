@@ -88,14 +88,23 @@ def _h_kernel(wl_ref, wr_ref, c_ref, out_ref, *, radius: int,
 
 
 def _pick_y_block(H: int, radius: int) -> int:
-    """Smallest block >= 2R (VMEM: weight blocks are double-buffered, so
-    y_block=32 keeps the T-strip pair under ~8 MB) that divides H."""
-    for b in (32, 48, 64, 96, 72, 16, 8):
-        if H % b == 0 and b >= 2 * radius:
-            return b
-    if H >= 2 * radius:
-        return H
-    raise ValueError(f"image height {H} smaller than window {2 * radius}")
+    """Smallest block >= 2R, rounded to sublanes (VMEM: weight blocks are
+    double-buffered, so y_block~32 keeps the T-strip pair under ~8 MB).
+    H need not divide: the wrappers row-pad to a block multiple."""
+    b = max(32, -(-2 * radius // 8) * 8)
+    return min(b, -(-H // 8) * 8)
+
+
+def _pad_rows(x, total: int, axis: int):
+    """Edge-pad `axis` up to `total` rows (values beyond the true height
+    only feed outputs that are sliced away, but edge values keep the
+    clamp-to-edge reads of the last real rows correct)."""
+    n = x.shape[axis]
+    if n == total:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, total - n)
+    return jnp.pad(x, pad, mode="edge")
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret"))
@@ -104,17 +113,23 @@ def asw_vpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
     """Vertical pass: cost (D, H, W), weights (T, H, W) -> (D, H, W)."""
     D, H, W = cost.shape
     y_b = _pick_y_block(H, radius)
-    n_y = H // y_b
-    # Rows pre-padded by R (edge) on top; bottom padded to (n_y + 1) blocks
-    # so the second (i+1) cost operand's last block exists.
+    n_y = -(-H // y_b)
+    H_pad = n_y * y_b
+    w_left = _pad_rows(w_left, H_pad, axis=1)
+    w_right = _pad_rows(w_right, H_pad, axis=1)
+    # Rows pre-padded by R (edge) on top; bottom edge-padded through H_pad
+    # + zero-padded to (n_y + 1) blocks so the (i+1) cost operand's last
+    # block exists.
     total = (n_y + 1) * y_b
-    cost_p = jnp.pad(cost, [(0, 0), (radius, radius), (0, 0)], mode="edge")
-    cost_p = jnp.pad(cost_p, [(0, 0), (0, total - (H + 2 * radius)), (0, 0)])
+    cost_p = jnp.pad(cost, [(0, 0), (radius, H_pad - H + radius), (0, 0)],
+                     mode="edge")
+    cost_p = jnp.pad(cost_p, [(0, 0), (0, total - (H_pad + 2 * radius)),
+                              (0, 0)])
     T = 2 * radius + 1
 
     kernel = functools.partial(_v_kernel, radius=radius,
                                eps=eps, y_block=y_b, interpret=interpret)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(n_y, D),
         in_specs=[
@@ -129,9 +144,10 @@ def asw_vpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
         ],
         out_specs=pl.BlockSpec((1, y_b, W), lambda i, d: (d, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((D, H, W), cost.dtype),
+        out_shape=jax.ShapeDtypeStruct((D, H_pad, W), cost.dtype),
         interpret=interpret,
     )(w_left, w_right, cost_p, cost_p)
+    return out[:, :H, :] if H_pad != H else out
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret"))
@@ -140,12 +156,16 @@ def asw_hpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
     """Horizontal pass: cost (D, H, W), weights (T, H, W) -> (D, H, W)."""
     D, H, W = cost.shape
     y_b = _pick_y_block(H, radius)
-    n_y = H // y_b
+    n_y = -(-H // y_b)
+    H_pad = n_y * y_b
+    w_left = _pad_rows(w_left, H_pad, axis=1)
+    w_right = _pad_rows(w_right, H_pad, axis=1)
+    cost = _pad_rows(cost, H_pad, axis=1)
     T = 2 * radius + 1
 
     kernel = functools.partial(_h_kernel, radius=radius,
                                eps=eps, y_block=y_b, interpret=interpret)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(n_y, D),
         in_specs=[
@@ -158,9 +178,10 @@ def asw_hpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
         ],
         out_specs=pl.BlockSpec((1, y_b, W), lambda i, d: (d, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((D, H, W), cost.dtype),
+        out_shape=jax.ShapeDtypeStruct((D, H_pad, W), cost.dtype),
         interpret=interpret,
     )(w_left, w_right, cost)
+    return out[:, :H, :] if H_pad != H else out
 
 
 def asw_aggregate_pallas(cost, wv_left, wv_right, wh_left, wh_right,

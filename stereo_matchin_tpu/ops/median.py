@@ -12,10 +12,23 @@ import jax
 import jax.numpy as jnp
 
 
+# The classic 19-exchange 9-element median selection network (Smith 1996 /
+# the standard 3x3 median-filter network): after these ordered min/max
+# exchanges, slot 4 holds the median.  Equivalent to sort-then-take-middle
+# for every input, but compiles in milliseconds where XLA TPU's variadic
+# sort took ~160 s (measured round 1).
+_MED9_NET = [
+    (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5), (7, 8),
+    (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7), (4, 2), (6, 4),
+    (4, 2),
+]
+
+
 def median3x3(img):
     """img: (H, W) or (H, W, C) float. Returns same shape.
 
-    TPU note: channels-first internally, one edge pad, nine static slices.
+    TPU note: channels-first internally, one edge pad, nine static slices,
+    min/max selection network (no sort).
     """
     chan = img.ndim == 3
     x = jnp.moveaxis(img, -1, 0) if chan else img[None]   # (C, H, W)
@@ -26,5 +39,8 @@ def median3x3(img):
         for dy in (0, 1, 2)
         for dx in (0, 1, 2)
     ]
-    med = jnp.sort(jnp.stack(taps, axis=0), axis=0)[4]    # (C, H, W)
+    for i, j in _MED9_NET:
+        taps[i], taps[j] = jnp.minimum(taps[i], taps[j]), jnp.maximum(
+            taps[i], taps[j])
+    med = taps[4]                                          # (C, H, W)
     return jnp.moveaxis(med, 0, -1) if chan else med[0]

@@ -57,3 +57,24 @@ def test_full_aggregate_matches_ops(data):
                                interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_nondividing_height_and_full_window():
+    """teddy-like shape: H=47 (not a block multiple), radius 5."""
+    rng = np.random.default_rng(3)
+    Dx, Hx, Wx, Rx = 5, 47, 64, 5
+    cost = rng.uniform(0, 700, (Dx, Hx, Wx)).astype(np.float32)
+    wl = rng.uniform(0.1, 1, (2 * Rx + 1, Hx, Wx)).astype(np.float32)
+    wr = rng.uniform(0.1, 1, (2 * Rx + 1, Hx, Wx)).astype(np.float32)
+    want_v, _ = ops.asw_aggregate_pass(jnp.asarray(cost), jnp.asarray(wl),
+                                       jnp.asarray(wr), axis=1, radius=Rx)
+    got_v = asw_vpass_pallas(jnp.asarray(cost), jnp.asarray(wl),
+                             jnp.asarray(wr), Rx, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-6, atol=1e-6)
+    want_h, _ = ops.asw_aggregate_pass(jnp.asarray(cost), jnp.asarray(wl),
+                                       jnp.asarray(wr), axis=2, radius=Rx)
+    got_h = asw_hpass_pallas(jnp.asarray(cost), jnp.asarray(wl),
+                             jnp.asarray(wr), Rx, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=1e-6, atol=1e-6)
