@@ -27,6 +27,8 @@ def main() -> int:
     ap.add_argument("--method", choices=["asw", "cross"], default="asw")
     ap.add_argument("--pair", default="tsukuba")
     ap.add_argument("--runs", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="batched video-stream mode with this many frames")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -44,8 +46,17 @@ def main() -> int:
     left, right = jnp.asarray(left_np), jnp.asarray(right_np)
     H, W = left_np.shape[:2]
 
+    batch = max(args.batch, 0)
+    if batch:
+        left = jnp.broadcast_to(left, (batch,) + left.shape)
+        right = jnp.broadcast_to(right, (batch,) + right.shape)
     if args.method == "asw":
-        fn = jax.jit(lambda l, r: asw.asw_pipeline_impl(l, r, cfg).disparity)
+        if batch:
+            fn = jax.jit(
+                lambda l, r: asw.asw_pipeline_batched(l, r, cfg).disparity)
+        else:
+            fn = jax.jit(
+                lambda l, r: asw.asw_pipeline_impl(l, r, cfg).disparity)
     else:
         # cross_pipeline picks the stage-jitted path on TPU (the fused
         # program's XLA optimization takes ~670 s there).
@@ -67,10 +78,12 @@ def main() -> int:
     # One fetch per block of `runs`; repeat 3 blocks, take the best mean.
     med = min(timed_block(args.runs) for _ in range(3))
 
-    mdisp_s = (W * H * cfg.num_disp) / med / 1e6
+    frames = batch if batch else 1
+    mdisp_s = (frames * W * H * cfg.num_disp) / med / 1e6
     base = BASELINE_MDISP_S[args.method]
+    suffix = f"_b{batch}" if batch else ""
     print(json.dumps({
-        "metric": f"{args.method}_{args.pair}_throughput",
+        "metric": f"{args.method}_{args.pair}{suffix}_throughput",
         "value": round(mdisp_s, 2),
         "unit": "Mdisp/s",
         "vs_baseline": round(mdisp_s / base, 3),

@@ -1,0 +1,153 @@
+"""Command-line interface — the reference binary's workflow, grown up.
+
+The reference is a console program driven by `pics.txt` that runs both
+methods on every pair and dumps PNGs + a timing file per device
+(main.cpp:134-156,166,357-367,621-631).  Equivalents:
+
+  python -m stereo_matchin_tpu run   --pairs tsukuba teddy --out out/
+  python -m stereo_matchin_tpu run   --pics pics.txt --method asw
+  python -m stereo_matchin_tpu bench --pairs tsukuba --runs 10
+  python -m stereo_matchin_tpu eval  --pairs tsukuba teddy
+
+`run` writes the same artifact set as the reference into <out>/<pair>/:
+cross_based_initial.png, cross_based_disparity.png, median.png,
+asw_disparity.png, asw_consistency_pre-reff.png,
+asw_consistency_post-reff.png.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _config_from_args(args):
+    from .config import StereoConfig
+
+    kw = {}
+    for f in ("d_max", "radius", "arm_len", "r_iters", "k_iters"):
+        v = getattr(args, f, None)
+        if v is not None:
+            kw[f] = v
+    return StereoConfig(**kw)
+
+
+def _resolve_pairs(args):
+    from .io import REGISTRY, parse_pics_txt
+
+    if getattr(args, "pics", None):
+        return parse_pics_txt(args.pics)
+    names = args.pairs or ["tsukuba"]
+    return [REGISTRY[n] for n in names]
+
+
+def cmd_run(args) -> int:
+    import jax.numpy as jnp
+
+    from .io import png
+    from .models import asw, cross_based
+
+    cfg = _config_from_args(args)
+    for pair in _resolve_pairs(args):
+        out_dir = os.path.join(args.out, pair.name)
+        os.makedirs(out_dir, exist_ok=True)
+        left = jnp.asarray(png.read_rgb(pair.left))
+        right = jnp.asarray(png.read_rgb(pair.right))
+        t0 = time.perf_counter()
+        if args.method in ("both", "cross"):
+            res = cross_based.cross_pipeline(left, right, cfg)
+            png.write_gray(os.path.join(out_dir, "cross_based_initial.png"),
+                           np.asarray(res.initial))
+            png.write_gray(os.path.join(out_dir, "cross_based_disparity.png"),
+                           np.asarray(res.final))
+            png.write_rgb(os.path.join(out_dir, "median.png"),
+                          np.asarray(res.median_left))
+        if args.method in ("both", "asw"):
+            res = asw.asw_pipeline(left, right, cfg)
+            png.write_gray(os.path.join(out_dir, "asw_disparity.png"),
+                           np.asarray(res.disparity))
+            png.write_rgb(os.path.join(out_dir, "asw_consistency_pre-reff.png"),
+                          np.asarray(res.consistency_pre))
+            png.write_rgb(os.path.join(out_dir, "asw_consistency_post-reff.png"),
+                          np.asarray(res.consistency_post))
+        print(f"{pair.name}: artifacts in {out_dir} "
+              f"({time.perf_counter() - t0:.2f}s incl. compile)")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from .bench import run_benchmark
+
+    cfg = _config_from_args(args)
+    names = args.pairs or ["tsukuba"]
+    path = run_benchmark(names, cfg, runs=args.runs, out_dir=args.out)
+    print(f"per-stage report: {path}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    import jax.numpy as jnp
+
+    from .eval import compare_to_golden
+    from .io import load_pair
+    from .models import asw, cross_based
+
+    cfg = _config_from_args(args)
+    failed = False
+    for name in args.pairs or ["tsukuba"]:
+        left, right = map(jnp.asarray, load_pair(name))
+        if args.method in ("both", "cross"):
+            res = cross_based.cross_pipeline(left, right, cfg)
+            for art, img in (("cross_based_initial.png", res.initial),
+                             ("cross_based_disparity.png", res.final)):
+                c = compare_to_golden(np.asarray(img), name, art, cfg.d_max)
+                print(f"{name}/{art}: {c}")
+                failed |= c.bad2_pct > 1.0
+        if args.method in ("both", "asw"):
+            res = asw.asw_pipeline(left, right, cfg)
+            c = compare_to_golden(np.asarray(res.disparity), name,
+                                  "asw_disparity.png", cfg.d_max)
+            print(f"{name}/asw_disparity.png: {c}")
+            failed |= c.bad2_pct > 1.0
+    return 1 if failed else 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="stereo_matchin_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--pairs", nargs="*", default=None,
+                       help="registered pair names (default: tsukuba)")
+        p.add_argument("--method", choices=["both", "cross", "asw"],
+                       default="both")
+        for f in ("d_max", "radius", "arm_len", "r_iters", "k_iters"):
+            p.add_argument(f"--{f}", type=int, default=None)
+
+    p_run = sub.add_parser("run", help="run pipelines, write PNG artifacts")
+    common(p_run)
+    p_run.add_argument("--pics", default=None,
+                       help="reference-format pics.txt with pair paths")
+    p_run.add_argument("--out", default="out")
+    p_run.set_defaults(fn=cmd_run)
+
+    p_bench = sub.add_parser("bench", help="per-stage TSV benchmark")
+    common(p_bench)
+    p_bench.add_argument("--runs", type=int, default=10)
+    p_bench.add_argument("--out", default="bench_out")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    p_eval = sub.add_parser("eval", help="compare outputs to goldens")
+    common(p_eval)
+    p_eval.set_defaults(fn=cmd_eval)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

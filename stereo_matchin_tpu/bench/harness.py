@@ -90,11 +90,12 @@ def time_cross_method(left, right, cfg: StereoConfig) -> Dict[str, float]:
     arms_r = t.run("cross_v", cb._arms_stage, mr, cfg.arm_len, cfg.tau,
                    cfg.legacy_cross_arm_quirk)
     cost = t.run("aggregation", cb._sad_stage, ml, mr, cfg.num_disp)
-    aggr = t.run("aggr_h", cb._aggr_stage, cost, arms_l, arms_r, cfg.arm_len)
+    aggr = t.run("aggr_h", cb._aggr_stage, cost, arms_l, arms_r,
+             cfg.arm_len, cfg.oii_impl)
     initial = t.run("init_disp", cb._init_stage, aggr, cfg.d_max,
                     cfg.quantize_maps)
     t.run("final_disp", cb._vote_stage, initial, arms_l, cfg.d_max,
-          cfg.quantize_maps, cfg.arm_len)
+          cfg.quantize_maps, cfg.arm_len, cfg.oii_impl)
     times = dict(t.times)
     times["med_full"] = times["medL_solo"] + times["medR_solo"]
     times["cross_full"] = times["cross_h"] + times["cross_v"]

@@ -63,6 +63,11 @@ class StereoConfig:
     # "auto": Pallas TPU kernels on TPU backends, pure-jnp elsewhere;
     # "jnp" / "pallas" force one path.  Results are bit-identical in f32.
     kernels: str = "auto"
+    # OII aggregation + vote implementation: "prefix" mirrors the
+    # reference's integral images; "taps" is gather-free and translation-
+    # invariant (required for band tiling to be bit-exact); "auto" picks
+    # taps on TPU, prefix elsewhere.
+    oii_impl: str = "auto"
 
     def __post_init__(self):
         if self.d_max < 1:

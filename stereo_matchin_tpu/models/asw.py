@@ -133,3 +133,13 @@ def asw_pipeline_impl(left: jax.Array, right: jax.Array,
 @partial(jax.jit, static_argnums=2)
 def asw_pipeline(left, right, cfg: StereoConfig) -> ASWResult:
     return asw_pipeline_impl(left, right, cfg)
+
+
+@partial(jax.jit, static_argnums=2)
+def asw_pipeline_batched(left, right, cfg: StereoConfig) -> ASWResult:
+    """Batched over frames: (B, H, W, 3) pairs -> (B, ...) results.
+
+    The video-stream configuration (BASELINE configs[4]) on one chip;
+    combine with parallel.make_asw_sharded's batch axis across chips.
+    """
+    return jax.vmap(lambda l, r: asw_pipeline_impl(l, r, cfg))(left, right)

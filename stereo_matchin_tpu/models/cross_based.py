@@ -37,14 +37,15 @@ def cross_pipeline_impl(left: jax.Array, right: jax.Array,
     arms_l = ops.cross_arms(ml, cfg.arm_len, cfg.tau, cfg.legacy_cross_arm_quirk)
     arms_r = ops.cross_arms(mr, cfg.arm_len, cfg.tau, cfg.legacy_cross_arm_quirk)
     cost = ops.sad_cost_volume(ml, mr, cfg.num_disp)                # [0,1] scale
-    aggr = ops.cross_aggregate(cost, arms_l, arms_r, arm_len=cfg.arm_len)
+    aggr = ops.cross_aggregate(cost, arms_l, arms_r, arm_len=cfg.arm_len,
+                               impl=cfg.oii_impl)
     d0 = ops.wta_argmin(aggr)                                       # (H, W)
     initial = d0 / cfg.d_max
     if cfg.quantize_maps:
         initial = ops.unorm8(initial)                               # UNORM8 image round-trip
     voted = ops.histogram_vote(initial, arms_l, cfg.d_max,
                                quantize=cfg.quantize_maps,
-                               arm_len=cfg.arm_len)
+                               arm_len=cfg.arm_len, impl=cfg.oii_impl)
     final = ops.median3x3(voted)
     return CrossResult(initial=initial, final=final, median_left=ml)
 
@@ -71,9 +72,10 @@ def _sad_stage(ml, mr, num_disp):
     return ops.sad_cost_volume(ml, mr, num_disp)
 
 
-@partial(jax.jit, static_argnums=3)
-def _aggr_stage(cost, arms_l, arms_r, arm_len):
-    return ops.cross_aggregate(cost, arms_l, arms_r, arm_len=arm_len)
+@partial(jax.jit, static_argnums=(3, 4))
+def _aggr_stage(cost, arms_l, arms_r, arm_len, impl):
+    return ops.cross_aggregate(cost, arms_l, arms_r, arm_len=arm_len,
+                               impl=impl)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -82,10 +84,10 @@ def _init_stage(aggr, d_max, quantize):
     return ops.unorm8(initial) if quantize else initial
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def _vote_stage(initial, arms_l, d_max, quantize, arm_len):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _vote_stage(initial, arms_l, d_max, quantize, arm_len, impl):
     voted = ops.histogram_vote(initial, arms_l, d_max, quantize=quantize,
-                               arm_len=arm_len)
+                               arm_len=arm_len, impl=impl)
     return ops.median3x3(voted)
 
 
@@ -98,10 +100,11 @@ def cross_pipeline_staged(left, right, cfg: StereoConfig) -> CrossResult:
     arms_l = _arms_stage(ml, cfg.arm_len, cfg.tau, cfg.legacy_cross_arm_quirk)
     arms_r = _arms_stage(mr, cfg.arm_len, cfg.tau, cfg.legacy_cross_arm_quirk)
     cost = _sad_stage(ml, mr, cfg.num_disp)
-    aggr = _aggr_stage(cost, arms_l, arms_r, cfg.arm_len)
+    aggr = _aggr_stage(cost, arms_l, arms_r, cfg.arm_len,
+                       cfg.oii_impl)
     initial = _init_stage(aggr, cfg.d_max, cfg.quantize_maps)
     final = _vote_stage(initial, arms_l, cfg.d_max, cfg.quantize_maps,
-                        cfg.arm_len)
+                        cfg.arm_len, cfg.oii_impl)
     return CrossResult(initial=initial, final=final, median_left=ml)
 
 

@@ -1,0 +1,98 @@
+"""Host-driven row-band tiling for images whose cost volume exceeds HBM.
+
+BASELINE configs[3] (Middlebury 2014, ~2880x1988 at ~280 disparities)
+needs a ~6 GB cost volume *per aggregation buffer* — too big to keep
+several of on one chip.  This driver runs the ordinary single-chip
+pipeline over horizontal bands with enough overlap that every kept row is
+beyond the pipeline's total vertical influence radius from the band cut,
+making the banded result IDENTICAL to the full-image run (pinned by
+tests).  The multi-chip analogue (all bands resident, ppermute halos) is
+`parallel.make_asw_sharded`; this is the sequential fits-in-memory form.
+
+Influence radii (one side):
+  ASW:   aggregation r passes x R  +  support reads R  +  refinement
+         k passes x R  +  final median 1   ->  (r + k + 1) * R + 1
+  cross: median 1 + arm reads (L+1) + OII vertical window L + vote
+         vertical reach L (arms re-read at visited rows add nothing
+         vertically) + final median 1      ->  3L + 4
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import StereoConfig
+from . import asw as asw_mod
+from . import cross_based as cross_mod
+
+
+def asw_reach(cfg: StereoConfig) -> int:
+    return (cfg.r_iters + cfg.k_iters + 1) * cfg.radius + 1
+
+
+def cross_reach(cfg: StereoConfig) -> int:
+    return 3 * cfg.arm_len + 4
+
+
+def _run_banded(run_band: Callable, crop_axes, left, right, reach: int,
+                num_bands: int):
+    """Generic band loop.  run_band(left_slice, right_slice) -> pytree of
+    arrays; crop_axes: matching pytree of the row axis per leaf."""
+    H = left.shape[0]
+    band = math.ceil(H / num_bands)
+    pieces = []
+    for b in range(num_bands):
+        y0, y1 = b * band, min(H, (b + 1) * band)
+        if y0 >= y1:
+            break
+        lo, hi = max(0, y0 - reach), min(H, y1 + reach)
+        out = run_band(left[lo:hi], right[lo:hi])
+        cropped = jax.tree.map(
+            lambda leaf, ax: jax.lax.slice_in_dim(leaf, y0 - lo, y1 - lo,
+                                                  axis=ax),
+            out, crop_axes)
+        pieces.append(cropped)
+
+    def cat(*leaves_and_axis):
+        *leaves, ax = leaves_and_axis
+        return jnp.concatenate(leaves, axis=ax)
+
+    return jax.tree.map(cat, *pieces, crop_axes)
+
+
+def asw_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int):
+    """Banded ASW run; returns (disparity, filled) maps, identical to the
+    full-image asw_pipeline outputs."""
+    reach = asw_reach(cfg)
+
+    def run_band(l, r):
+        res = asw_mod.asw_pipeline(l, r, cfg)
+        return {"disparity": res.disparity, "filled": res.filled}
+
+    axes = {"disparity": 0, "filled": 0}
+    out = _run_banded(run_band, axes, left, right, reach, num_bands)
+    return out["disparity"], out["filled"]
+
+
+def cross_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int):
+    """Banded cross-method run; returns (initial, final) maps.
+
+    Forces the taps OII implementation — the prefix integral images are
+    not translation-invariant in float (column cumsums start at the band
+    top), which flips argmin ties between banded and full runs.
+    """
+    cfg = cfg.replace(oii_impl="taps")
+    reach = cross_reach(cfg)
+
+    def run_band(l, r):
+        res = cross_mod.cross_pipeline(l, r, cfg)
+        return {"initial": res.initial, "final": res.final}
+
+    axes = {"initial": 0, "final": 0}
+    out = _run_banded(run_band, axes, left, right, reach, num_bands)
+    return out["initial"], out["final"]

@@ -1,0 +1,48 @@
+"""Banded-vs-full equality for the big-image tiling driver."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stereo_matchin_tpu import StereoConfig
+from stereo_matchin_tpu.models import asw, cross_based
+from stereo_matchin_tpu.models.tiled import (asw_pipeline_tiled,
+                                             cross_pipeline_tiled)
+
+CFG = StereoConfig(d_max=7, radius=2, arm_len=3, r_iters=2, k_iters=2)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    rng = np.random.default_rng(21)
+    left = (rng.integers(0, 256, (96, 40, 3)) / np.float32(255.0)).astype(
+        np.float32)
+    right = np.roll(left, -2, axis=1)
+    noise = rng.integers(-10, 11, right.shape) / np.float32(255.0)
+    right = np.clip(np.round((right + noise) * 255) / 255.0, 0, 1).astype(
+        np.float32)
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+@pytest.mark.parametrize("bands", [2, 3, 5])
+def test_asw_tiled_matches_full(pair, bands):
+    left, right = pair
+    full = asw.asw_pipeline(left, right, CFG)
+    disp, filled = asw_pipeline_tiled(left, right, CFG, num_bands=bands)
+    np.testing.assert_array_equal(np.asarray(disp), np.asarray(full.disparity))
+    np.testing.assert_array_equal(np.asarray(filled), np.asarray(full.filled))
+
+
+@pytest.mark.parametrize("bands", [2, 4])
+def test_cross_tiled_matches_full(pair, bands):
+    left, right = pair
+    # The tiled driver forces the translation-invariant taps OII impl;
+    # compare against the full-image run with the same impl (the prefix
+    # impl differs from taps only at float argmin ties).
+    cfg = CFG.replace(oii_impl="taps")
+    full = cross_based.cross_pipeline(left, right, cfg)
+    initial, final = cross_pipeline_tiled(left, right, cfg, num_bands=bands)
+    np.testing.assert_array_equal(np.asarray(initial),
+                                  np.asarray(full.initial))
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(full.final))
