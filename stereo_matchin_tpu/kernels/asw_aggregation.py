@@ -48,10 +48,10 @@ def _shift_weights(wr, d, y_block: int, W: int, interpret: bool):
     return jnp.where(lane[None] < d, wr[:, :, :1], rolled)
 
 
-def _v_kernel(wl_ref, wr_ref, ca_ref, cb_ref, out_ref, *, radius: int,
+def _v_kernel(d0_ref, wl_ref, wr_ref, ca_ref, cb_ref, out_ref, *, radius: int,
               eps: float, y_block: int, interpret: bool):
     """One (row_block, d) program of the vertical pass."""
-    d = pl.program_id(1)
+    d = d0_ref[0, 0] + pl.program_id(1)
     T = 2 * radius + 1
     wl = wl_ref[:]                                   # (T, y_b, W)
     W = out_ref.shape[2]
@@ -66,10 +66,10 @@ def _v_kernel(wl_ref, wr_ref, ca_ref, cb_ref, out_ref, *, radius: int,
     out_ref[0] = num / den
 
 
-def _h_kernel(wl_ref, wr_ref, c_ref, out_ref, *, radius: int,
+def _h_kernel(d0_ref, wl_ref, wr_ref, c_ref, out_ref, *, radius: int,
               eps: float, y_block: int, interpret: bool):
     """One (row_block, d) program of the horizontal pass."""
-    d = pl.program_id(1)
+    d = d0_ref[0, 0] + pl.program_id(1)
     T = 2 * radius + 1
     W = out_ref.shape[2]
     wl = wl_ref[:]
@@ -109,8 +109,12 @@ def _pad_rows(x, total: int, axis: int):
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret"))
 def asw_vpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
-                     interpret: bool = False):
-    """Vertical pass: cost (D, H, W), weights (T, H, W) -> (D, H, W)."""
+                     interpret: bool = False, d0=0):
+    """Vertical pass: cost (D, H, W), weights (T, H, W) -> (D, H, W).
+
+    d0: global disparity index of local plane 0 (disp-sharded path); the
+    weight rotate uses d0 + d.  May be a traced scalar.
+    """
     D, H, W = cost.shape
     y_b = _pick_y_block(H, radius)
     n_y = -(-H // y_b)
@@ -127,12 +131,15 @@ def asw_vpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
                               (0, 0)])
     T = 2 * radius + 1
 
+    d0_arr = jnp.asarray(d0, jnp.int32).reshape(1, 1)
     kernel = functools.partial(_v_kernel, radius=radius,
                                eps=eps, y_block=y_b, interpret=interpret)
     out = pl.pallas_call(
         kernel,
         grid=(n_y, D),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, d: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((T, y_b, W), lambda i, d: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T, y_b, W), lambda i, d: (0, i, 0),
@@ -146,13 +153,13 @@ def asw_vpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D, H_pad, W), cost.dtype),
         interpret=interpret,
-    )(w_left, w_right, cost_p, cost_p)
+    )(d0_arr, w_left, w_right, cost_p, cost_p)
     return out[:, :H, :] if H_pad != H else out
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret"))
 def asw_hpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
-                     interpret: bool = False):
+                     interpret: bool = False, d0=0):
     """Horizontal pass: cost (D, H, W), weights (T, H, W) -> (D, H, W)."""
     D, H, W = cost.shape
     y_b = _pick_y_block(H, radius)
@@ -163,12 +170,15 @@ def asw_hpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
     cost = _pad_rows(cost, H_pad, axis=1)
     T = 2 * radius + 1
 
+    d0_arr = jnp.asarray(d0, jnp.int32).reshape(1, 1)
     kernel = functools.partial(_h_kernel, radius=radius,
                                eps=eps, y_block=y_b, interpret=interpret)
     out = pl.pallas_call(
         kernel,
         grid=(n_y, D),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, d: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((T, y_b, W), lambda i, d: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T, y_b, W), lambda i, d: (0, i, 0),
@@ -180,7 +190,7 @@ def asw_hpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D, H_pad, W), cost.dtype),
         interpret=interpret,
-    )(w_left, w_right, cost)
+    )(d0_arr, w_left, w_right, cost)
     return out[:, :H, :] if H_pad != H else out
 
 

@@ -85,13 +85,38 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
     pad_mask = pad_plane[:, None, None]
     cost0 = jnp.where(pad_mask, cfg.big, cost0)
 
-    def aggr_body(c, _):
-        c_pad, _ = exchange_halo(c, R, AXIS_ROW, axis=1)
-        cv, _den = ops_tiled.asw_vpass_tiled(c_pad, wv_l, wv_r, d0, d_local,
-                                             d_pad, R, cfg.eps)
-        ch, _ = ops_tiled.asw_hpass(cv, wh_l, wh_r, d0, d_local, d_pad, R,
-                                    cfg.eps)
-        return ch, None
+    use_pallas = cfg.kernels == "pallas" or (
+        cfg.kernels == "auto" and jax.default_backend() in ("tpu", "axon"))
+    if use_pallas:
+        from ..kernels.asw_aggregation import (asw_hpass_pallas,
+                                               asw_vpass_pallas)
+
+        interp = jax.default_backend() not in ("tpu", "axon")
+        # Weights for the halo-padded rows (values there only feed outputs
+        # that are cropped; edge values keep row clamping consistent).
+        wv_l_p = jnp.pad(wv_l, [(0, 0), (R, R), (0, 0)], mode="edge")
+        wv_r_p = jnp.pad(wv_r, [(0, 0), (R, R), (0, 0)], mode="edge")
+
+        def aggr_body(c, _):
+            c_pad, _ = exchange_halo(c, R, AXIS_ROW, axis=1)
+            # Run the kernel over the haloed tile and crop the centre: the
+            # kernel's own edge pad only feeds the cropped halo rows, so
+            # centre outputs read exactly the exchanged halo (bit-exact vs
+            # ops_tiled.asw_vpass_tiled).
+            full = asw_vpass_pallas(c_pad, wv_l_p, wv_r_p, R, cfg.eps,
+                                    interpret=interp, d0=d0)
+            cv = full[:, R:R + H_loc, :]
+            ch = asw_hpass_pallas(cv, wh_l, wh_r, R, cfg.eps,
+                                  interpret=interp, d0=d0)
+            return ch, None
+    else:
+        def aggr_body(c, _):
+            c_pad, _ = exchange_halo(c, R, AXIS_ROW, axis=1)
+            cv, _den = ops_tiled.asw_vpass_tiled(c_pad, wv_l, wv_r, d0,
+                                                 d_local, d_pad, R, cfg.eps)
+            ch, _ = ops_tiled.asw_hpass(cv, wh_l, wh_r, d0, d_local, d_pad,
+                                        R, cfg.eps)
+            return ch, None
 
     aggr, _ = lax.scan(aggr_body, cost0, None, length=cfg.r_iters)
     aggr = jnp.where(pad_mask, cfg.big, aggr)

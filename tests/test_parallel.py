@@ -62,3 +62,55 @@ def test_sharded_asw_matches_single_device(pair, reference, mesh_cfg):
                                   reference.consistency_pre)
     np.testing.assert_array_equal(got.consistency_post,
                                   reference.consistency_post)
+
+
+def test_stopwatch_and_device_sync():
+    import jax.numpy as jnp
+
+    from stereo_matchin_tpu.utils import Stopwatch, device_sync
+
+    sw = Stopwatch()
+    x = sw.timed("mul", lambda a: a * 2.0, jnp.ones((8, 8)))
+    device_sync(x)
+    assert sw.ms["mul"] >= 0.0
+    assert "mul" in sw.report()
+
+
+def test_build_pod_mesh_virtual_devices():
+    from stereo_matchin_tpu.parallel import build_pod_mesh
+
+    mesh = build_pod_mesh(row=2, disp=2)
+    assert mesh.devices.size == 8
+    assert mesh.shape["batch"] == 2
+
+
+def test_scaling_report(pair):
+    import jax
+
+    from stereo_matchin_tpu import MeshConfig, StereoConfig
+    from stereo_matchin_tpu.parallel import (build_mesh, make_asw_sharded,
+                                             scaling_report)
+
+    left, right = pair
+    mesh = build_mesh(MeshConfig(batch=2, row=2, disp=2))
+    f = make_asw_sharded(CFG, mesh)
+    rep = scaling_report(lambda l, r: f(l, r), left, right, mesh, runs=2)
+    assert rep["devices"] == 8
+    assert rep["mpix_s"] > 0
+
+
+@pytest.mark.parametrize(
+    "mesh_cfg",
+    [MeshConfig(batch=1, row=2, disp=2), MeshConfig(batch=1, row=1, disp=4)],
+    ids=lambda m: f"pallas-b{m.batch}r{m.row}d{m.disp}",
+)
+def test_sharded_asw_pallas_kernels(pair, reference, mesh_cfg):
+    """Sharded tile with the Pallas aggregation kernels (interpret mode on
+    the CPU mesh) must still match the single-device pipeline bit-exactly."""
+    left, right = pair
+    mesh = build_mesh(mesh_cfg)
+    f = make_asw_sharded(CFG.replace(kernels="pallas"), mesh)
+    got = jax.tree.map(np.asarray, f(left, right))
+    np.testing.assert_array_equal(got.wta_left, reference.wta_left)
+    np.testing.assert_array_equal(got.disparity, reference.disparity)
+    np.testing.assert_array_equal(got.filled, reference.filled)
