@@ -17,7 +17,10 @@ columns are comparable:
 
 Timing note: through the device relay `block_until_ready` can return
 before execution finishes, so every measurement syncs on an on-device
-scalar reduction fetched to the host.
+scalar reduction fetched to the host.  That sync costs one relay round
+trip (~25 ms here), so per-stage numbers carry a constant floor; the
+end-to-end pipeline numbers in bench.py (one sync per run) are the
+accurate totals.
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Dict, List
 
 import numpy as np
@@ -108,6 +111,38 @@ def time_cross_method(left, right, cfg: StereoConfig) -> Dict[str, float]:
     return times
 
 
+@lru_cache(maxsize=8)
+def _asw_stage_jits(cfg: StereoConfig):
+    """Stage-level jits for one config — cached so repeated timed runs hit
+    the jit cache instead of recompiling (jax.jit keys on function
+    identity; a fresh partial() every call would recompile)."""
+    R = cfg.radius
+    return {
+        "sad": jax.jit(partial(ops.sad_cost_volume, num_disp=cfg.num_disp,
+                               scale=255.0)),
+        "sup_v": jax.jit(partial(ops.support_weights, radius=R,
+                                 gamma_c=cfg.gamma_c, gamma_p=cfg.gamma_p,
+                                 axis=0)),
+        "sup_h": jax.jit(partial(ops.support_weights, radius=R,
+                                 gamma_c=cfg.gamma_c, gamma_p=cfg.gamma_p,
+                                 axis=1)),
+        "vpass": jax.jit(lambda c, a, b: ops.asw_aggregate_pass(
+            c, a, b, axis=1, radius=R, eps=cfg.eps)[0]),
+        "hpass": jax.jit(lambda c, a, b: ops.asw_aggregate_pass(
+            c, a, b, axis=2, radius=R, eps=cfg.eps)[0]),
+        "wta": jax.jit(partial(ops.wta_fast, big=cfg.big)),
+        "cons": jax.jit(ops.consistency),
+        "rw": jax.jit(partial(ops.refinement_weights, radius=R,
+                              gamma_c=cfg.ref_gamma_c,
+                              gamma_p=cfg.ref_gamma_p)),
+        "ref_v": jax.jit(partial(ops.refine_pass_v, radius=R, eps=cfg.eps)),
+        "ref_h": jax.jit(partial(ops.refine_pass_h, radius=R, eps=cfg.eps)),
+        "wta_ref": jax.jit(partial(ops.wta_refined_fast, penalty=cfg.penalty,
+                                   big=cfg.big)),
+        "median": jax.jit(ops.median3x3),
+    }
+
+
 def time_asw_method(left, right, cfg: StereoConfig) -> Dict[str, float]:
     """One timed run of the ASW pipeline, stage by stage (same dataflow as
     models.asw.asw_pipeline_impl)."""
@@ -115,12 +150,8 @@ def time_asw_method(left, right, cfg: StereoConfig) -> Dict[str, float]:
 
     R = cfg.radius
     t = StageTimer()
-    sad = jax.jit(partial(ops.sad_cost_volume, num_disp=cfg.num_disp,
-                          scale=255.0))
-    sup = jax.jit(partial(ops.support_weights, radius=R, gamma_c=cfg.gamma_c,
-                          gamma_p=cfg.gamma_p, axis=0))
-    suph = jax.jit(partial(ops.support_weights, radius=R, gamma_c=cfg.gamma_c,
-                           gamma_p=cfg.gamma_p, axis=1))
+    j = _asw_stage_jits(cfg)
+    sad, sup, suph = j["sad"], j["sup_v"], j["sup_h"]
     cost0 = t.run("aggr", sad, left, right)
     wv_l = t.run("supp_w", sup, left)
     wv_r = t.run("supp_w", sup, right)
@@ -133,32 +164,24 @@ def time_asw_method(left, right, cfg: StereoConfig) -> Dict[str, float]:
         vpass = partial(asw_vpass_pallas, radius=R, eps=cfg.eps)
         hpass = partial(asw_hpass_pallas, radius=R, eps=cfg.eps)
     else:
-        vpass = jax.jit(lambda c, a, b: ops.asw_aggregate_pass(
-            c, a, b, axis=1, radius=R, eps=cfg.eps)[0])
-        hpass = jax.jit(lambda c, a, b: ops.asw_aggregate_pass(
-            c, a, b, axis=2, radius=R, eps=cfg.eps)[0])
+        vpass, hpass = j["vpass"], j["hpass"]
     c = cost0
     for _ in range(cfg.r_iters):
         c = t.run("v_aggr", vpass, c, wv_l, wv_r)
         c = t.run("h_aggr", hpass, c, wh_l, wh_r)
     aggr = c
 
-    wta_j = jax.jit(partial(ops.wta_fast, big=cfg.big))
-    res = t.run("wta", wta_j, aggr)
+    res = t.run("wta", j["wta"], aggr)
     q = partial(ops.quantize_disparity, d_max=cfg.d_max,
                 enabled=cfg.quantize_maps)
-    cons_j = jax.jit(ops.consistency)
+    cons_j = j["cons"]
     cons = t.run("consistency", cons_j, q(res.disp_ref), q(res.disp_target),
                  res.conf_ref, res.conf_target)
 
-    rw = jax.jit(partial(ops.refinement_weights, radius=R,
-                         gamma_c=cfg.ref_gamma_c, gamma_p=cfg.ref_gamma_p))
-    rv_l, rh_l = rw(left)
-    rv_r, rh_r = rw(right)
-    refine_v = jax.jit(partial(ops.refine_pass_v, radius=R, eps=cfg.eps))
-    refine_h = jax.jit(partial(ops.refine_pass_h, radius=R, eps=cfg.eps))
-    wta_ref_j = jax.jit(partial(ops.wta_refined_fast, penalty=cfg.penalty,
-                                big=cfg.big))
+    rv_l, rh_l = j["rw"](left)
+    rv_r, rh_r = j["rw"](right)
+    refine_v, refine_h = j["ref_v"], j["ref_h"]
+    wta_ref_j = j["wta_ref"]
 
     filled_q, right_q = cons.filled, q(res.disp_target)
     conf_ref, conf_tar = cons.conf_ref, cons.conf_target
@@ -174,7 +197,7 @@ def time_asw_method(left, right, cfg: StereoConfig) -> Dict[str, float]:
         cres = t.run("consistency_ref", cons_j, q(r.disp_ref), right_q, cr, ct)
         filled_q, conf_ref, conf_tar = cres.filled, cres.conf_ref, cres.conf_target
 
-    t.run("median", jax.jit(ops.median3x3), filled_q / cfg.d_max)
+    t.run("median", j["median"], filled_q / cfg.d_max)
 
     k = max(cfg.k_iters, 1)
     times = {

@@ -27,6 +27,7 @@ from .oii import (
     oii_vcross,
 )
 from .vote import histogram_vote, vote_indices
+from .asw2d import asw_aggregate_2d
 from .wta import (
     WTAResult,
     epipolar_target_scan,
@@ -48,6 +49,7 @@ __all__ = [
     "ConsistencyResult",
     "WTAResult",
     "asw_aggregate",
+    "asw_aggregate_2d",
     "asw_aggregate_pass",
     "combined_arms",
     "consistency",

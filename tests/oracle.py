@@ -343,3 +343,29 @@ def refine_h(img, value_v, den_v, conf, radius, gamma_c=10.94, gamma_p=118.78, e
             val[y, x] = num / dnm
             den[y, x] = dnm
     return val, den
+
+
+# --- asw_vcost.cl / asw_cost.cl (vestigial 2-D aggregation) -----------------
+
+def asw_aggregate_2d(cost, wv_l, wv_r, wh_l, wh_r, radius):
+    D, H, W = cost.shape
+    T = 2 * radius + 1
+    out = np.zeros_like(cost)
+    for d in range(D):
+        for y in range(H):
+            for x in range(W):
+                xr = max(0, x - d)
+                num_v = F(0)
+                num_h = F(0)
+                den_h = F(0)
+                for i in range(T):
+                    yy = clamp(y + i - radius, 0, H - 1)
+                    num_v += cost[d, yy, x]
+                    wwv = wv_l[i, y, x] * wv_r[i, y, xr]
+                    for j in range(T):
+                        wwh = wh_l[j, yy, x] * wh_r[j, yy, xr]
+                        xx = clamp(x + j - radius, 0, W - 1)
+                        num_h += wwh * wwv * cost[d, yy, xx]
+                        den_h += wwh
+                out[d, y, x] = num_v / T + num_h / den_h
+    return out

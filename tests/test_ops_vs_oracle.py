@@ -271,3 +271,33 @@ def test_vote_taps_matches_prefix(rng):
     taps = ops.histogram_vote(jnp.asarray(disp_img), jnp.asarray(arms_l),
                               d_max, arm_len=L, impl="taps")
     np.testing.assert_array_equal(np.asarray(taps), np.asarray(prefix))
+
+
+def test_asw_aggregate_2d(rng):
+    from stereo_matchin_tpu.ops.asw2d import asw_aggregate_2d
+
+    left, right = _rand_pair(rng)
+    cost = oracle.sad_cost_volume(left, right, D, 255.0)
+    wv_l = oracle.support_weights(left, R, 30.91, 28.21, 0)
+    wv_r = oracle.support_weights(right, R, 30.91, 28.21, 0)
+    wh_l = oracle.support_weights(left, R, 30.91, 28.21, 1)
+    wh_r = oracle.support_weights(right, R, 30.91, 28.21, 1)
+    got = np.asarray(asw_aggregate_2d(
+        jnp.asarray(cost), jnp.asarray(wv_l), jnp.asarray(wv_r),
+        jnp.asarray(wh_l), jnp.asarray(wh_r), R))
+    want = oracle.asw_aggregate_2d(cost, wv_l, wv_r, wh_l, wh_r, R)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_pipeline_determinism(rng):
+    """Functional purity: two identical runs produce identical bits (the
+    reference relied on an event DAG for this; SURVEY.md §5 race notes)."""
+    from stereo_matchin_tpu import StereoConfig
+    from stereo_matchin_tpu.models import asw
+
+    cfg = StereoConfig(d_max=5, radius=2, arm_len=3, r_iters=2, k_iters=1)
+    left, right = _rand_pair(rng)
+    a = asw.asw_pipeline(jnp.asarray(left), jnp.asarray(right), cfg)
+    b = asw.asw_pipeline(jnp.asarray(left), jnp.asarray(right), cfg)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
