@@ -95,6 +95,22 @@ def _pick_y_block(H: int, radius: int) -> int:
     return min(b, -(-H // 8) * 8)
 
 
+def _pad_cols(x, total: int):
+    """Edge-pad the lane (last) dimension to `total` columns.
+
+    tpu.dynamic_rotate (the per-d weight shift) requires a 128-aligned
+    lane dimension; W=450 images fail to compile without this.  Edge
+    values keep the horizontal clamp-to-edge reads of the last real
+    column correct; outputs are cropped back to W.
+    """
+    n = x.shape[-1]
+    if n == total:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[-1] = (0, total - n)
+    return jnp.pad(x, pad, mode="edge")
+
+
 def _pad_rows(x, total: int, axis: int):
     """Edge-pad `axis` up to `total` rows (values beyond the true height
     only feed outputs that are sliced away, but edge values keep the
@@ -119,8 +135,10 @@ def asw_vpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
     y_b = _pick_y_block(H, radius)
     n_y = -(-H // y_b)
     H_pad = n_y * y_b
-    w_left = _pad_rows(w_left, H_pad, axis=1)
-    w_right = _pad_rows(w_right, H_pad, axis=1)
+    W_pad = -(-W // 128) * 128
+    w_left = _pad_cols(_pad_rows(w_left, H_pad, axis=1), W_pad)
+    w_right = _pad_cols(_pad_rows(w_right, H_pad, axis=1), W_pad)
+    cost = _pad_cols(cost, W_pad)
     # Rows pre-padded by R (edge) on top; bottom edge-padded through H_pad
     # + zero-padded to (n_y + 1) blocks so the (i+1) cost operand's last
     # block exists.
@@ -140,21 +158,21 @@ def asw_vpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, d: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((T, y_b, W), lambda i, d: (0, i, 0),
+            pl.BlockSpec((T, y_b, W_pad), lambda i, d: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, y_b, W), lambda i, d: (0, i, 0),
+            pl.BlockSpec((T, y_b, W_pad), lambda i, d: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, y_b, W), lambda i, d: (d, i, 0),
+            pl.BlockSpec((1, y_b, W_pad), lambda i, d: (d, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, y_b, W), lambda i, d: (d, i + 1, 0),
+            pl.BlockSpec((1, y_b, W_pad), lambda i, d: (d, i + 1, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, y_b, W), lambda i, d: (d, i, 0),
+        out_specs=pl.BlockSpec((1, y_b, W_pad), lambda i, d: (d, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((D, H_pad, W), cost.dtype),
+        out_shape=jax.ShapeDtypeStruct((D, H_pad, W_pad), cost.dtype),
         interpret=interpret,
     )(d0_arr, w_left, w_right, cost_p, cost_p)
-    return out[:, :H, :] if H_pad != H else out
+    return out[:, :H, :W]
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret"))
@@ -165,9 +183,10 @@ def asw_hpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
     y_b = _pick_y_block(H, radius)
     n_y = -(-H // y_b)
     H_pad = n_y * y_b
-    w_left = _pad_rows(w_left, H_pad, axis=1)
-    w_right = _pad_rows(w_right, H_pad, axis=1)
-    cost = _pad_rows(cost, H_pad, axis=1)
+    W_pad = -(-W // 128) * 128
+    w_left = _pad_cols(_pad_rows(w_left, H_pad, axis=1), W_pad)
+    w_right = _pad_cols(_pad_rows(w_right, H_pad, axis=1), W_pad)
+    cost = _pad_cols(_pad_rows(cost, H_pad, axis=1), W_pad)
     T = 2 * radius + 1
 
     d0_arr = jnp.asarray(d0, jnp.int32).reshape(1, 1)
@@ -179,19 +198,19 @@ def asw_hpass_pallas(cost, w_left, w_right, radius: int, eps: float = 1e-5,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, d: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((T, y_b, W), lambda i, d: (0, i, 0),
+            pl.BlockSpec((T, y_b, W_pad), lambda i, d: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, y_b, W), lambda i, d: (0, i, 0),
+            pl.BlockSpec((T, y_b, W_pad), lambda i, d: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, y_b, W), lambda i, d: (d, i, 0),
+            pl.BlockSpec((1, y_b, W_pad), lambda i, d: (d, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, y_b, W), lambda i, d: (d, i, 0),
+        out_specs=pl.BlockSpec((1, y_b, W_pad), lambda i, d: (d, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((D, H_pad, W), cost.dtype),
+        out_shape=jax.ShapeDtypeStruct((D, H_pad, W_pad), cost.dtype),
         interpret=interpret,
     )(d0_arr, w_left, w_right, cost)
-    return out[:, :H, :] if H_pad != H else out
+    return out[:, :H, :W]
 
 
 def asw_aggregate_pallas(cost, wv_left, wv_right, wh_left, wh_right,
