@@ -27,11 +27,10 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
+ 
 from functools import lru_cache, partial
 from typing import Callable, Dict, List
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp

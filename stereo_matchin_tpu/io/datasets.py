@@ -9,7 +9,6 @@ reference checkout.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from dataclasses import dataclass
 from typing import Dict, Optional

@@ -17,7 +17,6 @@ from functools import partial
 from typing import NamedTuple
 
 import jax
-import jax.numpy as jnp
 
 from .. import ops
 from ..config import StereoConfig

@@ -17,7 +17,6 @@ separable path.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .common import shift_axis

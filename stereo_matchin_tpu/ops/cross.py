@@ -19,7 +19,6 @@ v_minus, v_plus) with the minus arms stored negative.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

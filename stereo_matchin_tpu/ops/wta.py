@@ -23,7 +23,7 @@ StereoConfig.wta_ref_conf_bug.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -3,6 +3,7 @@
 from .mesh import AXIS_BATCH, AXIS_DISP, AXIS_ROW, build_mesh
 from .halo import crop_halo, exchange_halo
 from .asw_sharded import ShardedASWResult, make_asw_sharded
+from .cross_sharded import ShardedCrossResult, make_cross_sharded
 from .distributed import build_pod_mesh, initialize, scaling_report
 from .wta_sharded import (
     TwoMin,
@@ -16,6 +17,7 @@ __all__ = [
     "AXIS_DISP",
     "AXIS_ROW",
     "ShardedASWResult",
+    "ShardedCrossResult",
     "TwoMin",
     "build_mesh",
     "build_pod_mesh",
@@ -23,6 +25,7 @@ __all__ = [
     "exchange_halo",
     "initialize",
     "make_asw_sharded",
+    "make_cross_sharded",
     "scaling_report",
     "two_min_combine",
     "wta_refined_sharded",

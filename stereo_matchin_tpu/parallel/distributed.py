@@ -19,13 +19,12 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
 
 import jax
 from jax.sharding import Mesh
 
 from ..config import MeshConfig
-from .mesh import AXIS_BATCH, AXIS_DISP, AXIS_ROW, build_mesh
+from .mesh import build_mesh
 
 
 def initialize(coordinator_address: Optional[str] = None,

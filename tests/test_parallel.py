@@ -114,3 +114,28 @@ def test_sharded_asw_pallas_kernels(pair, reference, mesh_cfg):
     np.testing.assert_array_equal(got.wta_left, reference.wta_left)
     np.testing.assert_array_equal(got.disparity, reference.disparity)
     np.testing.assert_array_equal(got.filled, reference.filled)
+
+
+@pytest.mark.parametrize(
+    "mesh_cfg",
+    [
+        MeshConfig(batch=1, row=4, disp=1),
+        MeshConfig(batch=2, row=2, disp=2),
+        MeshConfig(batch=1, row=2, disp=4),
+    ],
+    ids=lambda m: f"cross-b{m.batch}r{m.row}d{m.disp}",
+)
+def test_sharded_cross_matches_single_device(pair, mesh_cfg):
+    from stereo_matchin_tpu.models import cross_based
+    from stereo_matchin_tpu.parallel.cross_sharded import make_cross_sharded
+
+    left, right = pair
+    cfg = CFG.replace(oii_impl="taps")
+    ref = jax.vmap(lambda l, r: cross_based.cross_pipeline_fused(l, r, cfg))(
+        left, right)
+    mesh = build_mesh(mesh_cfg)
+    f = make_cross_sharded(cfg, mesh)
+    got = jax.tree.map(np.asarray, f(left, right))
+    np.testing.assert_array_equal(got.initial, np.asarray(ref.initial))
+    np.testing.assert_array_equal(got.final, np.asarray(ref.final))
+    np.testing.assert_array_equal(got.median_left, np.asarray(ref.median_left))
