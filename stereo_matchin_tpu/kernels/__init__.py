@@ -1,0 +1,15 @@
+"""Pallas TPU kernels for the hot paths."""
+
+from .asw_aggregation import (
+    asw_aggregate_pallas,
+    asw_den_pallas,
+    asw_hpass_pallas,
+    asw_vpass_pallas,
+)
+
+__all__ = [
+    "asw_aggregate_pallas",
+    "asw_den_pallas",
+    "asw_hpass_pallas",
+    "asw_vpass_pallas",
+]

@@ -9,9 +9,11 @@ implement Zhang/Lu/Lafruit adaptive-cross aggregation in O(1) per pixel.
 
 TPU-first notes: the reference runs one *sequential* work-item per
 (row, disparity) for the prefix sums — pathological on GPU (SURVEY.md §3.5).
-Here both integrals are `jnp.cumsum` (XLA lowers to a logarithmic scan) and
-the arm-indexed window reads become `take_along_axis` gathers, which XLA
-fuses; the Pallas kernel path keeps whole rows in VMEM instead.
+Here the "prefix" implementation uses `jnp.cumsum` (XLA lowers to a
+logarithmic scan) with arm-indexed `take_along_axis` gathers; the "taps"
+implementation evaluates the same index sets as 2L+1 masked static shifts,
+which is gather-free and much faster on TPU (and translation-invariant,
+which the band-tiling driver requires).
 
 Faithful quirks (all from the .cl sources):
   * the window *mean* divides by ``h_plus - h_minus`` — one less than the
