@@ -140,5 +140,11 @@ def asw_pipeline_batched(left, right, cfg: StereoConfig) -> ASWResult:
 
     The video-stream configuration (BASELINE configs[4]) on one chip;
     combine with parallel.make_asw_sharded's batch axis across chips.
+
+    Frames run SEQUENTIALLY via lax.map: one tsukuba-sized frame already
+    saturates the chip, and the vmapped form measured ~25% slower
+    aggregate (the batched one-hot WTA matmul and vmapped Pallas grids
+    schedule worse than back-to-back single-frame programs).
     """
-    return jax.vmap(lambda l, r: asw_pipeline_impl(l, r, cfg))(left, right)
+    return jax.lax.map(lambda lr: asw_pipeline_impl(lr[0], lr[1], cfg),
+                       (left, right))
