@@ -60,7 +60,9 @@ def parse_pics_txt(path: str) -> list[StereoPair]:
     pairs = []
     for i in range(0, min(len(lines), 40) - 1, 2):
         left, right = lines[i], lines[i + 1]
-        name = os.path.dirname(left) or f"pair{i // 2}"
+        # Name must be a bare component: an absolute dirname would escape
+        # the CLI's --out directory via os.path.join.
+        name = os.path.basename(os.path.dirname(left)) or f"pair{i // 2}"
         pairs.append(StereoPair(name=name, left=left, right=right))
     return pairs
 
