@@ -53,6 +53,10 @@ class PairLoader:
         stop = threading.Event()
 
         def worker():
+            # A worker exception (corrupt/missing file) must surface in the
+            # consumer, not silently truncate the stream: ship it through
+            # the queue and re-raise on the iterating thread.
+            error = None
             try:
                 while True:
                     for lp, rp in self._pairs:
@@ -66,15 +70,19 @@ class PairLoader:
                         q.put((left, right))
                     if not self._loop:
                         break
+            except BaseException as exc:  # noqa: BLE001 — forwarded, not dropped
+                error = exc
             finally:
-                q.put(self._SENTINEL)
+                q.put((self._SENTINEL, error))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
         try:
             while True:
                 item = q.get()
-                if item is self._SENTINEL:
+                if isinstance(item, tuple) and item[0] is self._SENTINEL:
+                    if item[1] is not None:
+                        raise item[1]
                     break
                 yield item
         finally:

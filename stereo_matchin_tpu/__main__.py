@@ -54,8 +54,8 @@ def cmd_run(args) -> int:
     cfg = _config_from_args(args)
     for pair in _resolve_pairs(args):
         # Never let a pair name escape --out (absolute paths / parents).
-        safe = os.path.basename(pair.name.rstrip(os.sep)) or "pair"
-        out_dir = os.path.join(args.out, safe)
+        from .io.datasets import safe_pair_name
+        out_dir = os.path.join(args.out, safe_pair_name(pair.name))
         os.makedirs(out_dir, exist_ok=True)
         left = jnp.asarray(png.read_rgb(pair.left))
         right = jnp.asarray(png.read_rgb(pair.right))

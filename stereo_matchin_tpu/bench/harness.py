@@ -38,6 +38,11 @@ import jax.numpy as jnp
 from .. import ops
 from ..config import StereoConfig
 
+# Column remapping vs the reference TSV: the reference's cross_h/cross_v
+# are its horizontal/vertical cross kernels; here each _arms_stage call
+# computes ALL FOUR arms of one image, so cross_h carries the LEFT image's
+# arms and cross_v the RIGHT image's.  cross_full (their sum) and the
+# method total remain directly comparable; the two sub-columns are not.
 CROSS_COLUMNS = [
     "medL_solo", "medR_solo", "med_full", "cross_h", "cross_v", "cross_full",
     "aggregation", "integral_h", "aggr_h", "integral_v", "aggr_v",

@@ -48,6 +48,19 @@ REGISTRY: Dict[str, StereoPair] = {
 BENCH_PAIRS = ["tsukuba", "art", "teddy", "cones", "laundry"]
 
 
+def safe_pair_name(name: str) -> str:
+    """Reduce a pair name to a single safe path component.
+
+    `os.path.basename` alone is not enough: basename('..') == '..', so a
+    pics.txt line like `dir/../im1.png` would yield a name that escapes the
+    CLI's --out directory via os.path.join.  Reject '', '.', '..'.
+    """
+    safe = os.path.basename(name.rstrip(os.sep))
+    if safe in ("", ".", ".."):
+        return "pair"
+    return safe
+
+
 def get_pair(name: str) -> StereoPair:
     return REGISTRY[name]
 
@@ -60,9 +73,11 @@ def parse_pics_txt(path: str) -> list[StereoPair]:
     pairs = []
     for i in range(0, min(len(lines), 40) - 1, 2):
         left, right = lines[i], lines[i + 1]
-        # Name must be a bare component: an absolute dirname would escape
-        # the CLI's --out directory via os.path.join.
-        name = os.path.basename(os.path.dirname(left)) or f"pair{i // 2}"
+        # Name must be a bare component: an absolute or parent ('..')
+        # dirname would escape the CLI's --out directory via os.path.join.
+        name = safe_pair_name(os.path.dirname(left))
+        if name == "pair":
+            name = f"pair{i // 2}"
         pairs.append(StereoPair(name=name, left=left, right=right))
     return pairs
 

@@ -102,9 +102,13 @@ def _h_kernel(d0_ref, wl_ref, wr_ref, c_ref, den_ref, out_ref, *,
 def _pick_y_block(H: int, radius: int) -> int:
     """Smallest block >= 2R, rounded to sublanes (VMEM: weight blocks are
     double-buffered, so y_block~32 keeps the T-strip pair under ~8 MB).
-    H need not divide: the wrappers row-pad to a block multiple."""
-    b = max(32, -(-2 * radius // 8) * 8)
-    return min(b, -(-H // 8) * 8)
+    H need not divide: the wrappers row-pad to a block multiple.  The
+    floor is 2R rounded up: _v_kernel slices cost2[t : t + y_block] out
+    of 2*y_block rows with t up to 2R, so y_block < 2R would run past the
+    buffer (short images are row-padded up instead)."""
+    floor = -(-2 * radius // 8) * 8
+    b = max(32, floor)
+    return max(floor, min(b, -(-H // 8) * 8))
 
 
 def _crop3(x, H: int, W: int):

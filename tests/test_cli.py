@@ -46,6 +46,25 @@ def test_cli_run_with_pics_txt(tmp_path):
     assert len(outs) == 1
 
 
+def test_pair_names_cannot_escape_out_dir(tmp_path):
+    """Regression: a pics.txt line like 'dir/../im1.png' must not yield
+    pair name '..' (basename('..') == '..'), which would make `run`
+    write artifacts into the PARENT of --out."""
+    from stereo_matchin_tpu.io.datasets import safe_pair_name
+
+    for hostile in ("..", ".", "", "/", "a/..", "/abs/path/.."):
+        assert safe_pair_name(hostile) == "pair", hostile
+    assert safe_pair_name("teddy") == "teddy"
+    assert safe_pair_name("/abs/teddy") == "teddy"
+
+    pair = get_pair("tsukuba")
+    pics = tmp_path / "pics.txt"
+    evil_left = os.path.join(os.path.dirname(pair.left), "..", "im1.png")
+    pics.write_text(f"{evil_left}\n{pair.right}\n")
+    parsed = parse_pics_txt(str(pics))
+    assert parsed[0].name == "pair0"
+
+
 def test_cli_bench_writes_tsv(tmp_path):
     rc = main(["bench", "--pairs", "tsukuba", "--runs", "1",
                "--out", str(tmp_path)] + TINY)
