@@ -1,0 +1,376 @@
+"""Fused Pallas TPU kernels for the cross-based method's hot stages.
+
+Reference kernels: `integral_h.cl` + `oii_hcross.cl` + `integral_v.cl` +
+`oii_vcross.cl` (adaptive-cross OII aggregation) and `disparity.cl`
+(histogram vote over the cross region — 47-81% of the method's GPU
+runtime, SURVEY.md §3.5).
+
+Semantics match `ops.cross_aggregate(..., impl="taps")` and
+`ops.histogram_vote` exactly (same tap order for the aggregation f32
+sums; integer-identical vote counts).  What changes is the schedule:
+
+  * the XLA taps formulation materialises ~100 unrolled masked-shift
+    stages over the full (D, H, W) volume — its graph makes XLA's TPU
+    optimisation time explode (~216-670 s cold for the full pipeline,
+    round 1) and every tap round-trips HBM.  Here each tap chain runs
+    in-register over VMEM blocks, so the XLA graph is two custom calls
+    and the volume is read once per pass;
+  * aggregation grid = (row_blocks, D) with D innermost: the per-image
+    arm planes — shared by all 61 disparity programs — stay resident in
+    VMEM; the per-d combined arms (the `max/min` of left arms and
+    d-shifted right arms, oii_hcross.cl:25-31) are recomputed in-register
+    from a `pltpu.roll` lane rotate instead of materialising four
+    (D, H, W) arm volumes in HBM;
+  * the vote's horizontal pass is a one-hot matmul on the MXU: per image
+    row, a banded clamp-count matrix A[x, c] (how many taps of pixel x's
+    arm span land on column c under CLAMP_TO_EDGE) contracts with the
+    one-hot disparity indicator B[c, d] to produce all 61 histogram rows
+    at once — replacing a 61×51 masked-shift loop per pixel with one
+    (W×W)@(W×D) bf16 systolic pass (counts ≤ 51, exact in bf16);
+  * the vote's vertical pass keeps disparity in the 128-lane dimension,
+    accumulates the 51 masked row taps in f32, and reduces mode+argmax
+    in-kernel via a combined `count*D_pad + d` max (ties to the highest
+    disparity, matching disparity.cl:39-42).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .asw_aggregation import _pad_cols, _pad_rows
+
+
+def _roll(x, amount, axis, interpret):
+    return jnp.roll(x, amount, axis) if interpret else pltpu.roll(x, amount, axis)
+
+
+def _shift_arm(arm, d, lane, interpret):
+    """arm read at max(0, x - d) along lanes (oii_hcross.cl `max(0, pos.x - pos.z)`)."""
+    rolled = _roll(arm, d, 1, interpret)
+    return jnp.where(lane < d, arm[:, :1], rolled)
+
+
+def _oii_h_kernel(d0_ref, cost_ref, hm_l_ref, hp_l_ref, hm_r_ref, hp_r_ref,
+                  out_ref, *, arm_len: int, W: int, interpret: bool):
+    """One (row_block, d) program of the horizontal OII windowed mean.
+
+    out[x] = sum_{j in [hm, hp], 1 <= x+j <= W-1} cost[x+j] / (hp - hm)
+    with hm/hp the combined left/right arms for disparity d.  The
+    (x+j >= 1) bound reproduces the reference's `max(0, x + h_minus - 1)`
+    lower-prefix-index clamp that silently drops column 0 from every
+    window sum (oii_hcross.cl, SURVEY ops/oii.py notes).
+    """
+    d = d0_ref[0, 0] + pl.program_id(1)
+    shape = hm_l_ref.shape
+    lane = lax.broadcasted_iota(jnp.int32, shape, 1)
+    hm = jnp.maximum(_shift_arm(hm_r_ref[:], d, lane, interpret), hm_l_ref[:])
+    hp = jnp.minimum(_shift_arm(hp_r_ref[:], d, lane, interpret), hp_l_ref[:])
+    c = cost_ref[0]
+    acc = jnp.zeros(shape, c.dtype)
+    for j in range(-arm_len, arm_len + 1):
+        tap = _roll(c, -j, 1, interpret)           # tap[x] = c[(x+j) mod Wp]
+        xj = lane + j
+        m = ((j >= hm) & (j <= hp) & (xj >= 1) & (xj <= W - 1))
+        acc = acc + jnp.where(m, tap, 0.0)
+    out_ref[0] = acc / (hp - hm)
+
+
+def _oii_v_kernel(d0_ref, ta_ref, tb_ref, vm_l_ref, vp_l_ref, vm_r_ref,
+                  vp_r_ref, out_ref, *, arm_len: int, H: int, y_block: int,
+                  interpret: bool):
+    """One (row_block, d) program of the vertical OII windowed mean.
+
+    Vertical reach ±L is served by two consecutive row blocks of the
+    L-top-padded temp volume (same trick as the ASW vertical pass)."""
+    d = d0_ref[0, 0] + pl.program_id(1)
+    L = arm_len
+    shape = vm_l_ref.shape
+    lane = lax.broadcasted_iota(jnp.int32, shape, 1)
+    vm = jnp.maximum(_shift_arm(vm_r_ref[:], d, lane, interpret), vm_l_ref[:])
+    vp = jnp.minimum(_shift_arm(vp_r_ref[:], d, lane, interpret), vp_l_ref[:])
+    t2 = jnp.concatenate([ta_ref[0], tb_ref[0]], axis=0)   # (2*y_b, Wp)
+    ys = (pl.program_id(0) * y_block
+          + lax.broadcasted_iota(jnp.int32, shape, 0))     # global row
+    acc = jnp.zeros(shape, t2.dtype)
+    for i in range(-L, L + 1):
+        tap = t2[L + i:L + i + y_block]
+        yi = ys + i
+        m = ((i >= vm) & (i <= vp) & (yi >= 1) & (yi <= H - 1))
+        acc = acc + jnp.where(m, tap, 0.0)
+    out_ref[0] = acc / (vp - vm)
+
+
+def _pick_y_block(H: int, reach: int) -> int:
+    """Block >= `reach` rows (so two consecutive blocks cover reach*2+block),
+    rounded to sublanes; never larger than the padded image."""
+    floor = -(-2 * reach // 8) * 8
+    b = max(32, floor)
+    return max(floor, min(b, -(-H // 8) * 8))
+
+
+def _arm_planes(arms, lo: int, hi: int, H_pad: int, W_pad: int):
+    """Split (4, H, W) int arms into edge-padded f32 planes [lo, hi)."""
+    out = []
+    for p in range(lo, hi):
+        plane = arms[p].astype(jnp.float32)
+        out.append(_pad_cols(_pad_rows(plane, H_pad, axis=0), W_pad))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("arm_len", "interpret"))
+def oii_hpass_pallas(cost, arms_l, arms_r, arm_len: int = 25,
+                     interpret: bool = False, d0=0):
+    """Horizontal OII windowed mean: cost (D, H, W), arms (4, H, W) int32
+    [h-, h+, v-, v+] (minus negative) -> (D, H, W).
+
+    d0: global disparity of local plane 0 (disp-sharded path)."""
+    D, H, W = cost.shape
+    y_b = _pick_y_block(H, 0)
+    n_y = -(-H // y_b)
+    H_pad = n_y * y_b
+    W_pad = -(-W // 128) * 128
+    cost_p = _pad_cols(_pad_rows(cost, H_pad, axis=1), W_pad)
+    hm_l, hp_l = _arm_planes(arms_l, 0, 2, H_pad, W_pad)
+    hm_r, hp_r = _arm_planes(arms_r, 0, 2, H_pad, W_pad)
+    d0_arr = jnp.asarray(d0, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(_oii_h_kernel, arm_len=arm_len, W=W,
+                               interpret=interpret)
+    arm_spec = pl.BlockSpec((y_b, W_pad), lambda i, d: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_y, D),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, d: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, y_b, W_pad), lambda i, d: (d, i, 0),
+                         memory_space=pltpu.VMEM),
+            arm_spec, arm_spec, arm_spec, arm_spec,
+        ],
+        out_specs=pl.BlockSpec((1, y_b, W_pad), lambda i, d: (d, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, H_pad, W_pad), cost.dtype),
+        interpret=interpret,
+    )(d0_arr, cost_p, hm_l, hp_l, hm_r, hp_r)
+    return out[:, :H, :W]
+
+
+@functools.partial(jax.jit, static_argnames=("arm_len", "interpret"))
+def oii_vpass_pallas(temp, arms_l, arms_r, arm_len: int = 25,
+                     interpret: bool = False, d0=0):
+    """Vertical OII windowed mean over the horizontal result (D, H, W)."""
+    D, H, W = temp.shape
+    L = arm_len
+    y_b = _pick_y_block(H, L)
+    n_y = -(-H // y_b)
+    H_pad = n_y * y_b
+    W_pad = -(-W // 128) * 128
+    temp_p = _pad_cols(temp, W_pad)
+    total = (n_y + 1) * y_b
+    temp_p = jnp.pad(temp_p, [(0, 0), (L, total - H - L), (0, 0)])
+    vm_l, vp_l = _arm_planes(arms_l, 2, 4, H_pad, W_pad)
+    vm_r, vp_r = _arm_planes(arms_r, 2, 4, H_pad, W_pad)
+    d0_arr = jnp.asarray(d0, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(_oii_v_kernel, arm_len=L, H=H, y_block=y_b,
+                               interpret=interpret)
+    arm_spec = pl.BlockSpec((y_b, W_pad), lambda i, d: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_y, D),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, d: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, y_b, W_pad), lambda i, d: (d, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, y_b, W_pad), lambda i, d: (d, i + 1, 0),
+                         memory_space=pltpu.VMEM),
+            arm_spec, arm_spec, arm_spec, arm_spec,
+        ],
+        out_specs=pl.BlockSpec((1, y_b, W_pad), lambda i, d: (d, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, H_pad, W_pad), temp.dtype),
+        interpret=interpret,
+    )(d0_arr, temp_p, temp_p, vm_l, vp_l, vm_r, vp_r)
+    return out[:, :H, :W]
+
+
+def cross_aggregate_pallas(cost, arms_l, arms_r, arm_len: int = 25,
+                           interpret: bool = False, d0=0):
+    """Full adaptive-cross aggregation (h then v pass), Pallas schedule.
+
+    Tap order matches ops.cross_aggregate(impl="taps") exactly, so the
+    f32 sums are bit-identical to that implementation."""
+    temp = oii_hpass_pallas(cost, arms_l, arms_r, arm_len, interpret, d0)
+    return oii_vpass_pallas(temp, arms_l, arms_r, arm_len, interpret, d0)
+
+
+# --- histogram vote -----------------------------------------------------
+
+
+def _vote_h_kernel(idx_ref, hm_ref, hp_ref, out_ref, *, arm_len: int,
+                   W: int, D_pad: int, y_block: int):
+    """Per-row one-hot MXU pass: rc[y, x, d] = #{j in [hm, hp] :
+    idx[y, clamp(x + j)] == d} for one row block.
+
+    A[x, c] counts how many taps of pixel x's span land on column c
+    under CLAMP_TO_EDGE (border columns absorb the out-of-range taps —
+    weights up to L+1, exact in bf16); B[c, d] is the one-hot disparity
+    indicator.  rc = A @ B on the MXU.
+    """
+    Wp = idx_ref.shape[1]
+    c_lane = lax.broadcasted_iota(jnp.float32, (Wp, Wp), 1)   # column c
+    x_sub = lax.broadcasted_iota(jnp.float32, (Wp, Wp), 0)    # pixel x
+    ident = (c_lane == x_sub).astype(jnp.bfloat16)
+    d_lane = lax.broadcasted_iota(jnp.float32, (Wp, D_pad), 1)
+
+    def row(y, _):
+        rows = jnp.concatenate(
+            [idx_ref[pl.ds(y, 1), :], hm_ref[pl.ds(y, 1), :],
+             hp_ref[pl.ds(y, 1), :]], axis=0)                 # (3, Wp)
+        cols = lax.dot_general(ident, rows.astype(jnp.bfloat16),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (Wp, 3)
+        idx_c, hm_c, hp_c = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
+        j = c_lane - x_sub
+        interior = ((j >= hm_c) & (j <= hp_c)
+                    & (c_lane >= 1) & (c_lane <= W - 2))
+        w0 = jnp.maximum(0.0, jnp.minimum(hp_c, -x_sub) - hm_c + 1.0)
+        wl = jnp.maximum(0.0, hp_c - jnp.maximum(hm_c, (W - 1) - x_sub) + 1.0)
+        A = jnp.where(c_lane == 0, w0,
+                      jnp.where(c_lane == W - 1, wl,
+                                interior.astype(jnp.float32)))
+        B = (idx_c == d_lane).astype(jnp.bfloat16)            # (Wp, D_pad)
+        rc = lax.dot_general(A.astype(jnp.bfloat16), B,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        out_ref[pl.ds(y, 1)] = rc[None].astype(jnp.bfloat16)
+        return 0
+
+    lax.fori_loop(0, y_block, row, 0)
+
+
+def _vote_v_kernel(rc_a, rc_b, rc_c, vm_ref, vp_ref, out_ref, *,
+                   arm_len: int, y_block: int, D_pad: int):
+    """Vertical vote pass + mode: tab[y, x, d] = sum over clamped rows
+    y+i (i in [vm, vp]) of rc; output combined = max_d (tab * D_pad + d)
+    so ties go to the highest disparity (disparity.cl:39-42)."""
+    L = arm_len
+    r3 = jnp.concatenate([rc_a[:], rc_b[:], rc_c[:]], axis=0)
+    vm, vp = vm_ref[:], vp_ref[:]
+    shape = (y_block,) + vm.shape[1:] + (D_pad,)
+    acc = jnp.zeros(shape, jnp.float32)
+    for i in range(-L, L + 1):
+        tap = r3[y_block + i:y_block + i + y_block].astype(jnp.float32)
+        m = (i >= vm) & (i <= vp)
+        acc = acc + jnp.where(m[..., None], tap, 0.0)
+    d_lane = lax.broadcasted_iota(jnp.float32, shape, 2)
+    combined = acc * D_pad + d_lane
+    out_ref[:] = jnp.max(combined, axis=2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("d_max", "quantize", "arm_len", "interpret"))
+def histogram_vote_pallas(disp_img, arms_l, d_max: int, quantize: bool = True,
+                          arm_len: int = 25, interpret: bool = False):
+    """`Disparity` vote on TPU: disp_img (H, W) [0,1] image, arms_l
+    (4, H, W) int32 -> (H, W) [0,1] refined map.
+
+    Integer-identical counts to ops.histogram_vote (both impls)."""
+    from ..ops.vote import vote_indices
+    from ..ops.common import unorm8
+
+    H, W = disp_img.shape
+    L = arm_len
+    D_pad = max(128, -(-(d_max + 1) // 128) * 128)
+    W_pad = -(-W // 128) * 128
+
+    idx = vote_indices(disp_img, d_max).astype(jnp.float32)
+    y_b1 = min(16, -(-H // 8) * 8)
+    n_y1 = -(-H // y_b1)
+    H_pad1 = n_y1 * y_b1
+    idx_p = _pad_cols(_pad_rows(idx, H_pad1, axis=0), W_pad)
+    hm, hp = _arm_planes(arms_l, 0, 2, H_pad1, W_pad)
+
+    if interpret:
+        rc = _vote_h_interpret(idx_p, hm, hp, L, W, D_pad)
+    else:
+        rc = pl.pallas_call(
+            functools.partial(_vote_h_kernel, arm_len=L, W=W, D_pad=D_pad,
+                              y_block=y_b1),
+            grid=(n_y1,),
+            in_specs=[
+                pl.BlockSpec((y_b1, W_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((y_b1, W_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((y_b1, W_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((y_b1, W_pad, D_pad), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H_pad1, W_pad, D_pad),
+                                           jnp.bfloat16),
+        )(idx_p, hm, hp)
+
+    # Vertical pass: rows clamp to the border (border rc rows re-counted),
+    # so the halo padding is edge-replicated real rows.  Three consecutive
+    # blocks serve the ±L reach, so y_b2 >= L suffices (not 2L).
+    y_b2 = max(32, -(-L // 8) * 8)
+    y_b2 = min(y_b2, _pick_y_block(H, L))
+    n_y2 = -(-H // y_b2)
+    rc_real = rc[:H]
+    total = (n_y2 + 2) * y_b2
+    rc_p = jnp.pad(rc_real, [(y_b2, total - H - y_b2), (0, 0), (0, 0)],
+                   mode="edge")
+    vm, vp = _arm_planes(arms_l, 2, 4, n_y2 * y_b2, W_pad)
+    w_b = 128
+    n_x = W_pad // w_b
+    kernel = functools.partial(_vote_v_kernel, arm_len=L, y_block=y_b2,
+                               D_pad=D_pad)
+    rc_spec = lambda k: pl.BlockSpec(
+        (y_b2, w_b, D_pad), lambda i, jx, k=k: (i + k, jx, 0),
+        memory_space=pltpu.VMEM)
+    arm_spec = pl.BlockSpec((y_b2, w_b), lambda i, jx: (i, jx),
+                            memory_space=pltpu.VMEM)
+    combined = pl.pallas_call(
+        kernel,
+        grid=(n_y2, n_x),
+        in_specs=[rc_spec(0), rc_spec(1), rc_spec(2), arm_spec, arm_spec],
+        out_specs=pl.BlockSpec((y_b2, w_b), lambda i, jx: (i, jx),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_y2 * y_b2, W_pad), jnp.float32),
+        interpret=interpret,
+    )(rc_p, rc_p, rc_p, vm, vp)[:H, :W]
+
+    mode = jnp.mod(combined, D_pad)
+    result = mode / d_max
+    return unorm8(result) if quantize else result
+
+
+def _vote_h_interpret(idx_p, hm, hp, L, W, D_pad):
+    """Pure-jnp stand-in for the MXU pass (interpret mode: fori_loop with
+    ref dynamic slices and dot_general relayouts diverge under the Pallas
+    interpreter; the math here is identical)."""
+    Hp, Wp = idx_p.shape
+    c = jnp.arange(Wp, dtype=jnp.float32)[None, :]            # column
+    x = jnp.arange(Wp, dtype=jnp.float32)[:, None]            # pixel
+    j = c - x
+    hm_c, hp_c = hm[..., None], hp[..., None]                 # (Hp, Wp, 1)
+    interior = ((j[None] >= hm_c) & (j[None] <= hp_c)
+                & (c[None] >= 1) & (c[None] <= W - 2))
+    w0 = jnp.maximum(0.0, jnp.minimum(hp_c, -x.T[..., None]) - hm_c + 1.0)
+    wl = jnp.maximum(0.0,
+                     hp_c - jnp.maximum(hm_c, (W - 1) - x.T[..., None]) + 1.0)
+    A = jnp.where(c[None] == 0, w0,
+                  jnp.where(c[None] == W - 1, wl,
+                            interior.astype(jnp.float32)))    # (Hp, Wx, Wc)
+    B = (idx_p[:, :, None] == jnp.arange(D_pad, dtype=jnp.float32))
+    return jnp.einsum("yxc,ycd->yxd", A,
+                      B.astype(jnp.float32)).astype(jnp.bfloat16)

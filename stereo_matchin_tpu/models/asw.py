@@ -134,6 +134,125 @@ def asw_pipeline(left, right, cfg: StereoConfig) -> ASWResult:
     return asw_pipeline_impl(left, right, cfg)
 
 
+class ASWDebug(NamedTuple):
+    """Per-stage captures mirroring the reference debug build's dumps
+    under `stereo_matching/sukub/` (SURVEY.md §4.2): WTA maps after every
+    aggregation iteration (`aggregation/{reference,target}/aggregation_i`),
+    after every refinement iteration (`refinement/.../refinement_i`), the
+    raw-cost WTA (`asw_raw_d.png`) and consistency diagnostics."""
+    raw_wta_left: jax.Array       # (H, W) [0,1] WTA on the raw cost volume
+    raw_wta_right: jax.Array
+    aggr_wta_left: jax.Array      # (r, H, W) WTA after each v+h pass
+    aggr_wta_right: jax.Array
+    refine_wta_left: jax.Array    # (k, H, W) WTA_REF after each iteration
+    refine_wta_right: jax.Array
+    consistency_red_pre: jax.Array    # (H, W, 3) after initial WTA
+    refine_reds: jax.Array            # (k, H, W, 3) per refinement iter
+    result: ASWResult
+
+
+def asw_pipeline_debug_impl(left, right, cfg: StereoConfig) -> ASWDebug:
+    """asw_pipeline_impl with per-iteration state captured via the scans'
+    stacked outputs — the TPU-native analogue of the reference debug
+    build's per-iteration clEnqueueReadImage dumps."""
+    R, D = cfg.radius, cfg.num_disp
+
+    cost0 = ops.sad_cost_volume(left, right, D, scale=255.0)
+    wv_l = ops.support_weights(left, R, cfg.gamma_c, cfg.gamma_p, axis=0)
+    wh_l = ops.support_weights(left, R, cfg.gamma_c, cfg.gamma_p, axis=1)
+    wv_r = ops.support_weights(right, R, cfg.gamma_c, cfg.gamma_p, axis=0)
+    wh_r = ops.support_weights(right, R, cfg.gamma_c, cfg.gamma_p, axis=1)
+
+    raw = ops.wta_fast(cost0, big=cfg.big)
+
+    if _use_pallas(cfg):
+        from ..kernels.asw_aggregation import (asw_den_pallas,
+                                               asw_hpass_pallas,
+                                               asw_vpass_pallas)
+
+        den_v = asw_den_pallas(wv_l, wv_r, R, cfg.eps, num_disp=D)
+        den_h = asw_den_pallas(wh_l, wh_r, R, cfg.eps, num_disp=D)
+        vpass = lambda c: asw_vpass_pallas(c, wv_l, wv_r, R, cfg.eps,
+                                           den=den_v)
+        hpass = lambda c: asw_hpass_pallas(c, wh_l, wh_r, R, cfg.eps,
+                                           den=den_h)
+    else:
+        vpass = lambda c: ops.asw_aggregate_pass(c, wv_l, wv_r, axis=1,
+                                                 radius=R, eps=cfg.eps)[0]
+        hpass = lambda c: ops.asw_aggregate_pass(c, wh_l, wh_r, axis=2,
+                                                 radius=R, eps=cfg.eps)[0]
+
+    def rbody(c, _):
+        c2 = hpass(vpass(c))
+        r_ = ops.wta_fast(c2, big=cfg.big)
+        return c2, (_to_image(r_.disp_ref, cfg), _to_image(r_.disp_target, cfg))
+
+    aggr, (agg_l, agg_r) = jax.lax.scan(rbody, cost0, None,
+                                        length=cfg.r_iters)
+
+    res = ops.wta_fast(aggr, big=cfg.big)
+    wta_left_img = _to_image(res.disp_ref, cfg)
+    wta_right_img = _to_image(res.disp_target, cfg)
+    cons = ops.consistency(wta_left_img * cfg.d_max,
+                           wta_right_img * cfg.d_max,
+                           res.conf_ref, res.conf_target)
+    red_pre = ops.red_diagnostic(wta_left_img * cfg.d_max, cons.consistent,
+                                 cfg.d_max)
+
+    rv_l, rh_l = ops.refinement_weights(left, R, cfg.ref_gamma_c,
+                                        cfg.ref_gamma_p)
+    rv_r, rh_r = ops.refinement_weights(right, R, cfg.ref_gamma_c,
+                                        cfg.ref_gamma_p)
+
+    def kbody(state, _):
+        filled_q, right_q, conf_ref, conf_tar = state
+        val_l, den_l = ops.refine_view(rv_l, rh_l, filled_q, conf_ref, R,
+                                       cfg.eps)
+        val_r, den_r = ops.refine_view(rv_r, rh_r, right_q, conf_tar, R,
+                                       cfg.eps)
+        r = ops.wta_refined_fast(aggr, val_l, den_l, val_r, den_r,
+                                 cfg.penalty, big=cfg.big)
+        if cfg.wta_ref_conf_bug:
+            new_conf_ref, new_conf_tar = r.conf_target, conf_tar
+        else:
+            new_conf_ref, new_conf_tar = r.conf_ref, r.conf_target
+        left_img = _to_image(r.disp_ref, cfg)
+        right_img = _to_image(r.disp_target, cfg)
+        c = ops.consistency(left_img * cfg.d_max, right_img * cfg.d_max,
+                            new_conf_ref, new_conf_tar)
+        red = ops.red_diagnostic(left_img * cfg.d_max, c.consistent,
+                                 cfg.d_max)
+        new_state = (c.filled, right_img * cfg.d_max, c.conf_ref,
+                     c.conf_target)
+        return new_state, (left_img, right_img, red)
+
+    init = (cons.filled, wta_right_img * cfg.d_max, cons.conf_ref,
+            cons.conf_target)
+    (filled_q, _, _, _), (ref_l, ref_r, reds) = jax.lax.scan(
+        kbody, init, None, length=cfg.k_iters)
+
+    filled_img = filled_q / cfg.d_max
+    disparity = ops.median3x3(filled_img)
+    result = ASWResult(
+        disparity=disparity, filled=filled_img, consistency_pre=red_pre,
+        consistency_post=reds[-1] if cfg.k_iters > 0 else red_pre,
+        wta_left=wta_left_img, wta_right=wta_right_img,
+        aggregated_cost=aggr,
+    )
+    return ASWDebug(
+        raw_wta_left=_to_image(raw.disp_ref, cfg),
+        raw_wta_right=_to_image(raw.disp_target, cfg),
+        aggr_wta_left=agg_l, aggr_wta_right=agg_r,
+        refine_wta_left=ref_l, refine_wta_right=ref_r,
+        consistency_red_pre=red_pre, refine_reds=reds, result=result,
+    )
+
+
+@partial(jax.jit, static_argnums=2)
+def asw_pipeline_debug(left, right, cfg: StereoConfig) -> ASWDebug:
+    return asw_pipeline_debug_impl(left, right, cfg)
+
+
 @partial(jax.jit, static_argnums=2)
 def asw_pipeline_batched(left, right, cfg: StereoConfig) -> ASWResult:
     """Batched over frames: (B, H, W, 3) pairs -> (B, ...) results.

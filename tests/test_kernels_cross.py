@@ -1,0 +1,73 @@
+"""Pallas cross-method kernels vs the oracle-pinned ops implementations.
+
+The aggregation kernels share the taps implementation's tap order, so
+their f32 sums are bit-identical to ops.cross_aggregate(impl="taps");
+the vote kernels produce integer-identical counts, so the mode map is
+exactly equal to ops.histogram_vote (both impls agree on integers).
+Interpret mode runs the same kernel logic on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stereo_matchin_tpu import ops
+from stereo_matchin_tpu.kernels.cross_oii import (cross_aggregate_pallas,
+                                                  histogram_vote_pallas)
+
+
+def _random_case(rng, H, W, D, L):
+    left = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
+    right = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
+    arms_l = ops.cross_arms(left, arm_len=L, tau=0.35)
+    arms_r = ops.cross_arms(right, arm_len=L, tau=0.35)
+    cost = ops.sad_cost_volume(left, right, D)
+    return cost, arms_l, arms_r
+
+
+@pytest.mark.parametrize("H,W,D,L", [(24, 20, 8, 3), (16, 40, 5, 4),
+                                     (40, 33, 7, 2)])
+def test_cross_aggregate_pallas_matches_taps(rng, H, W, D, L):
+    cost, arms_l, arms_r = _random_case(rng, H, W, D, L)
+    want = ops.cross_aggregate(cost, arms_l, arms_r, arm_len=L, impl="taps")
+    got = cross_aggregate_pallas(cost, arms_l, arms_r, arm_len=L,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_cross_aggregate_pallas_close_to_prefix(rng):
+    cost, arms_l, arms_r = _random_case(rng, 24, 20, 8, 3)
+    want = ops.cross_aggregate(cost, arms_l, arms_r, arm_len=3,
+                               impl="prefix")
+    got = cross_aggregate_pallas(cost, arms_l, arms_r, arm_len=3,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("H,W,d_max,L", [(24, 20, 7, 3), (16, 40, 4, 4),
+                                         (40, 33, 6, 2)])
+def test_histogram_vote_pallas_matches_ops(rng, H, W, d_max, L):
+    left = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
+    arms = ops.cross_arms(left, arm_len=L, tau=0.35)
+    d = rng.integers(0, d_max + 1, size=(H, W))
+    disp_img = jnp.asarray(ops.unorm8(d.astype(np.float32) / d_max))
+    for impl in ("prefix", "taps"):
+        # Compare integer modes: the final /d_max division can differ by
+        # 1 ulp between separately-compiled programs (XLA may turn a
+        # constant divide into a reciprocal multiply), so bit-comparing
+        # the float image would test the compiler, not the vote.
+        want = ops.histogram_vote(disp_img, arms, d_max, quantize=False,
+                                  arm_len=L, impl=impl)
+        got = histogram_vote_pallas(disp_img, arms, d_max, quantize=False,
+                                    arm_len=L, interpret=True)
+        np.testing.assert_array_equal(
+            np.round(np.asarray(got) * d_max).astype(np.int32),
+            np.round(np.asarray(want) * d_max).astype(np.int32))
+        q_want = ops.histogram_vote(disp_img, arms, d_max, quantize=True,
+                                    arm_len=L, impl=impl)
+        q_got = histogram_vote_pallas(disp_img, arms, d_max, quantize=True,
+                                      arm_len=L, interpret=True)
+        np.testing.assert_allclose(np.asarray(q_got), np.asarray(q_want),
+                                   atol=1e-6)
