@@ -1,31 +1,192 @@
-"""Benchmark entry point — prints ONE JSON line for the driver.
+"""Benchmark entry point — prints one JSON line per metric for the driver.
 
-Headline metric: ASW-pipeline disparity throughput on tsukuba at the full
-reference configuration (61 disparities, r=7, k=6, 33-tap window), in
-millions of disparity hypotheses per second (W*H*D / wall time — the same
-derived metric as BASELINE.md).  vs_baseline is against the GTX 860M's
-17.5 Mdisp/s on the identical workload (BASELINE.md derived anchors).
+Headline metric (always FIRST line): ASW-pipeline disparity throughput on
+tsukuba at the full reference configuration (61 disparities, r=7, k=6,
+33-tap window), in millions of disparity hypotheses per second
+(W*H*D / wall time — the same derived metric as BASELINE.md).
+vs_baseline is against the GTX 860M running the identical workload
+(per-pair anchors derived from the committed timing file, BASELINE.md).
 
-Usage: python bench.py [--method asw|cross] [--pair tsukuba] [--runs 10]
+The default full suite then adds: both methods on all five pairs, the
+batched video mode, BASELINE configs 1-2 at their real geometry, the
+config-3 (2880x1988, 280 disp) band-tiled throughput, and a CPU-mesh
+weak-scaling report (subprocess, 8 virtual devices).  Configs 1-3 have no
+per-workload reference measurement, so their vs_baseline uses the ASW
+anchor throughput (the 860M's Mdisp/s is nearly workload-independent:
+16.8-17.5 across the five pairs).
+
+Usage:
+  python bench.py                 # full suite
+  python bench.py --suite headline
+  python bench.py --method cross --pair teddy [--batch 8]   # one metric
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-# GTX 860M anchors, Mdisp/s (BASELINE.md "Derived per-chip target anchors").
-BASELINE_MDISP_S = {"asw": 17.5, "cross": 91.5}
+# GTX 860M mean totals in ms (BASELINE.md measured table, 10-run means).
+ANCHOR_MS = {
+    ("asw", "tsukuba"): 385.1, ("asw", "teddy"): 613.5,
+    ("asw", "cones"): 613.8, ("asw", "art"): 583.6,
+    ("asw", "laundry"): 607.2,
+    ("cross", "tsukuba"): 73.7, ("cross", "teddy"): 113.8,
+    ("cross", "cones"): 112.5, ("cross", "art"): 110.6,
+    ("cross", "laundry"): 112.9,
+}
+SIZES = {"tsukuba": (288, 384), "teddy": (375, 450), "cones": (375, 450),
+         "art": (359, 450), "laundry": (372, 450)}
+NUM_DISP_REF = 61
+
+
+def anchor_mdisp(method: str, pair: str) -> float:
+    H, W = SIZES[pair]
+    return H * W * NUM_DISP_REF / ANCHOR_MS[(method, pair)] / 1e3
+
+
+def emit(metric: str, value: float, vs_baseline: float,
+         unit: str = "Mdisp/s") -> None:
+    print(json.dumps({"metric": metric, "value": round(value, 2),
+                      "unit": unit, "vs_baseline": round(vs_baseline, 3)}),
+          flush=True)
+
+
+def _sync(out) -> None:
+    """On-device reduce + host fetch: through the axon relay
+    block_until_ready can return before execution finishes."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
+    float(sum(jnp.sum(x.astype(jnp.float32)) for x in leaves))
+
+
+def measure(fn, left, right, runs: int, blocks: int = 2):
+    """Two-block-size slope timing.
+
+    The relay sync costs a ~27 ms constant per host fetch, so a block of
+    N dispatches + one sync measures N*t + C.  Timing blocks of n1 and n2
+    runs and taking the slope (t2-t1)/(n2-n1) cancels C exactly — no
+    best-case flattery, no floor inflation.  The naive per-run block mean
+    (floor included) is returned alongside as the conservative number.
+    """
+    _sync(fn(left, right))  # warmup/compile
+
+    def block(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(left, right)
+        _sync(out)
+        return time.perf_counter() - t0
+
+    n1 = max(2, runs // 4)
+    n2 = n1 + max(runs, 4)
+    t1 = min(block(n1) for _ in range(blocks))
+    t2 = min(block(n2) for _ in range(blocks))
+    slope = (t2 - t1) / (n2 - n1)
+    naive = t2 / n2
+    return slope, naive
+
+
+def bench_pair(method: str, pair: str, cfg, runs: int, batch: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_matchin_tpu.io import load_pair
+    from stereo_matchin_tpu.models import asw, cross_based
+
+    left_np, right_np = load_pair(pair)
+    left, right = jnp.asarray(left_np), jnp.asarray(right_np)
+    H, W = left_np.shape[:2]
+    if batch:
+        left = jnp.broadcast_to(left, (batch,) + left.shape)
+        right = jnp.broadcast_to(right, (batch,) + right.shape)
+        fn = jax.jit(lambda l, r: asw.asw_pipeline_batched(l, r, cfg).disparity)
+    elif method == "asw":
+        fn = jax.jit(lambda l, r: asw.asw_pipeline_impl(l, r, cfg).disparity)
+    else:
+        fn = lambda l, r: cross_based.cross_pipeline(l, r, cfg).final  # noqa: E731
+    best, mean = measure(fn, left, right, runs)
+    frames = batch or 1
+    return (frames * W * H * cfg.num_disp / best / 1e6,
+            frames * W * H * cfg.num_disp / mean / 1e6)
+
+
+def bench_config3_band(runs: int = 2):
+    """BASELINE config 3 (Middlebury-2014 geometry: 2880x1988, 280 disp)
+    through the band-tiled ASW driver on a synthetic pair.  Times the
+    steady-state per-band rate (a full-frame run is ~the same rate x all
+    bands; the one-shot full run is recorded in PARITY.md)."""
+    import jax.numpy as jnp
+
+    from stereo_matchin_tpu import REFERENCE_CONFIG
+    from stereo_matchin_tpu.models import asw as asw_mod
+    from stereo_matchin_tpu.models.tiled import asw_reach
+
+    cfg = REFERENCE_CONFIG.replace(d_max=279)
+    W, H = 2880, 1988
+    reach = asw_reach(cfg)
+    band_rows = 128                     # kept rows per band
+    rows = band_rows + 2 * reach        # band + influence halo
+    rng = np.random.default_rng(0)
+    base = rng.random((rows, W, 3), dtype=np.float32)
+    left = jnp.asarray(base)
+    right = jnp.asarray(np.roll(base, 17, axis=1))
+
+    fn = lambda l, r: asw_mod.asw_pipeline(l, r, cfg).disparity  # noqa: E731
+    best, _ = measure(fn, left, right, runs=1, blocks=runs)
+    # Credit only the kept rows: halo rows are recomputed by neighbours.
+    return band_rows * W * cfg.num_disp / best / 1e6
+
+
+def bench_scaling_subprocess():
+    """Weak-scaling on the 8-virtual-device CPU mesh, in a subprocess (the
+    parent owns the TPU backend; backends are per-process)."""
+    code = r"""
+import os, json, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+from stereo_matchin_tpu.config import StereoConfig, MeshConfig
+from stereo_matchin_tpu.parallel import build_mesh, make_asw_sharded, scaling_report
+cfg = StereoConfig(d_max=15, radius=4, arm_len=6, r_iters=2, k_iters=2)
+rng = np.random.default_rng(0)
+H, W = 96, 128
+def run(batch, mesh_cfg):
+    mesh = build_mesh(mesh_cfg)
+    f = make_asw_sharded(cfg, mesh)
+    left = jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32))
+    right = jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32))
+    return scaling_report(f, left, right, mesh, runs=3)
+r1 = run(1, MeshConfig(batch=1, row=1, disp=1))
+r8 = run(8, MeshConfig(batch=8, row=1, disp=1))
+eff = (r8["mpix_s"] / 8.0) / r1["mpix_s"]
+print(json.dumps({"eff": eff, "mpix_1dev": r1["mpix_s"], "mpix_8dev": r8["mpix_s"]}))
+"""
+    env = dict(**__import__("os").environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=1200, env=env)
+    if r.returncode != 0:
+        return None
+    return json.loads(r.stdout.strip().splitlines()[-1])
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--method", choices=["asw", "cross"], default="asw")
-    ap.add_argument("--pair", default="tsukuba")
+    ap.add_argument("--suite", choices=["full", "headline"], default=None)
+    ap.add_argument("--method", choices=["asw", "cross"], default=None)
+    ap.add_argument("--pair", default=None)
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--batch", type=int, default=0,
                     help="batched video-stream mode with this many frames")
@@ -36,58 +197,61 @@ def main() -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
     from stereo_matchin_tpu import REFERENCE_CONFIG as cfg
-    from stereo_matchin_tpu.io import load_pair
-    from stereo_matchin_tpu.models import asw, cross_based
 
-    left_np, right_np = load_pair(args.pair)
-    left, right = jnp.asarray(left_np), jnp.asarray(right_np)
-    H, W = left_np.shape[:2]
+    single = args.method or args.pair or args.batch
+    method = args.method or "asw"
+    pair = args.pair or "tsukuba"
 
-    batch = max(args.batch, 0)
-    if batch:
-        left = jnp.broadcast_to(left, (batch,) + left.shape)
-        right = jnp.broadcast_to(right, (batch,) + right.shape)
-    if args.method == "asw":
-        if batch:
-            fn = jax.jit(
-                lambda l, r: asw.asw_pipeline_batched(l, r, cfg).disparity)
-        else:
-            fn = jax.jit(
-                lambda l, r: asw.asw_pipeline_impl(l, r, cfg).disparity)
-    else:
-        # cross_pipeline picks the stage-jitted path on TPU (the fused
-        # program's XLA optimization takes ~670 s there).
-        fn = lambda l, r: cross_based.cross_pipeline(l, r, cfg).final  # noqa: E731
+    if single:
+        best, _ = bench_pair(method, pair, cfg, args.runs, args.batch)
+        suffix = f"_b{args.batch}" if args.batch else ""
+        emit(f"{method}_{pair}{suffix}_throughput", best,
+             best / anchor_mdisp(method, pair))
+        return 0
 
-    # Warmup/compile.  NOTE: under the axon relay block_until_ready returns
-    # before the device finishes, so all timing brackets a host fetch of the
-    # result (device queue is serial, so N dispatches + one fetch = N runs).
-    np.asarray(fn(left, right))
+    # --- full suite (headline first) -----------------------------------
+    best, mean = bench_pair("asw", "tsukuba", cfg, args.runs)
+    emit("asw_tsukuba_throughput", best, best / anchor_mdisp("asw", "tsukuba"))
+    if args.suite == "headline":
+        return 0
+    # Conservative companion number: per-run including the ~27 ms relay
+    # sync constant (what a naive single-run measurement would see).
+    emit("asw_tsukuba_throughput_with_sync", mean,
+         mean / anchor_mdisp("asw", "tsukuba"))
 
-    def timed_block(n):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn(left, right)
-        np.asarray(out)
-        return (time.perf_counter() - t0) / n
+    for p in ("teddy", "cones", "art", "laundry"):
+        b, _ = bench_pair("asw", p, cfg, args.runs)
+        emit(f"asw_{p}_throughput", b, b / anchor_mdisp("asw", p))
+    for p in ("tsukuba", "teddy", "cones", "art", "laundry"):
+        b, _ = bench_pair("cross", p, cfg, args.runs)
+        emit(f"cross_{p}_throughput", b, b / anchor_mdisp("cross", p))
 
-    # One fetch per block of `runs`; repeat 3 blocks, take the best mean.
-    med = min(timed_block(args.runs) for _ in range(3))
+    b, _ = bench_pair("asw", "tsukuba", cfg, max(2, args.runs // 2), batch=8)
+    emit("asw_tsukuba_b8_throughput", b, b / anchor_mdisp("asw", "tsukuba"))
 
-    frames = batch if batch else 1
-    mdisp_s = (frames * W * H * cfg.num_disp) / med / 1e6
-    base = BASELINE_MDISP_S[args.method]
-    suffix = f"_b{batch}" if batch else ""
-    print(json.dumps({
-        "metric": f"{args.method}_{args.pair}{suffix}_throughput",
-        "value": round(mdisp_s, 2),
-        "unit": "Mdisp/s",
-        "vs_baseline": round(mdisp_s / base, 3),
-    }))
+    # BASELINE config 1: 64 disparities, full 35x35 window (radius 17).
+    cfg1 = cfg.replace(d_max=63, radius=17)
+    b, _ = bench_pair("asw", "teddy", cfg1, max(3, args.runs // 2))
+    emit("config1_teddy_64d_35w_throughput", b, b / 17.5)
+    # BASELINE config 2: ~230 disparities (Middlebury 2005 third-size).
+    cfg2 = cfg.replace(d_max=229)
+    b, _ = bench_pair("asw", "art", cfg2, max(3, args.runs // 2))
+    emit("config2_art_230d_throughput", b, b / 17.5)
+    # BASELINE config 3: 2880x1988, 280 disp, band-tiled.
+    try:
+        b = bench_config3_band()
+        emit("config3_band_2880x1988_280d_throughput", b, b / 17.5)
+    except Exception as e:  # noqa: BLE001 — bench must report what it can
+        print(json.dumps({"metric": "config3_band_2880x1988_280d_throughput",
+                          "value": None, "unit": "Mdisp/s",
+                          "error": repr(e)[:200]}), flush=True)
+
+    rep = bench_scaling_subprocess()
+    if rep is not None:
+        emit("weak_scaling_8dev_cpu_mesh_efficiency", rep["eff"], rep["eff"],
+             unit="ratio")
     return 0
 
 

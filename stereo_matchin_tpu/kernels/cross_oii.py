@@ -47,7 +47,12 @@ from .asw_aggregation import _pad_cols, _pad_rows
 
 
 def _roll(x, amount, axis, interpret):
-    return jnp.roll(x, amount, axis) if interpret else pltpu.roll(x, amount, axis)
+    if interpret:
+        return jnp.roll(x, amount, axis)
+    # pltpu.roll requires a non-negative shift; static amounts normalise.
+    if isinstance(amount, int):
+        amount %= x.shape[axis]
+    return pltpu.roll(x, amount, axis)
 
 
 def _shift_arm(arm, d, lane, interpret):
@@ -225,10 +230,11 @@ def _vote_h_kernel(idx_ref, hm_ref, hp_ref, out_ref, *, arm_len: int,
     indicator.  rc = A @ B on the MXU.
     """
     Wp = idx_ref.shape[1]
-    c_lane = lax.broadcasted_iota(jnp.float32, (Wp, Wp), 1)   # column c
-    x_sub = lax.broadcasted_iota(jnp.float32, (Wp, Wp), 0)    # pixel x
+    # Mosaic iota must be integer-typed; compare-heavy math runs in f32.
+    c_lane = lax.broadcasted_iota(jnp.int32, (Wp, Wp), 1).astype(jnp.float32)
+    x_sub = lax.broadcasted_iota(jnp.int32, (Wp, Wp), 0).astype(jnp.float32)
     ident = (c_lane == x_sub).astype(jnp.bfloat16)
-    d_lane = lax.broadcasted_iota(jnp.float32, (Wp, D_pad), 1)
+    d_lane = lax.broadcasted_iota(jnp.int32, (Wp, D_pad), 1).astype(jnp.float32)
 
     def row(y, _):
         rows = jnp.concatenate(
@@ -256,21 +262,32 @@ def _vote_h_kernel(idx_ref, hm_ref, hp_ref, out_ref, *, arm_len: int,
     lax.fori_loop(0, y_block, row, 0)
 
 
-def _vote_v_kernel(rc_a, rc_b, rc_c, vm_ref, vp_ref, out_ref, *,
+def _vote_v_kernel(rc_a, rc_b, rc_c, vm_ref, vp_ref, out_ref, scratch, *,
                    arm_len: int, y_block: int, D_pad: int):
     """Vertical vote pass + mode: tab[y, x, d] = sum over clamped rows
     y+i (i in [vm, vp]) of rc; output combined = max_d (tab * D_pad + d)
-    so ties go to the highest disparity (disparity.cl:39-42)."""
+    so ties go to the highest disparity (disparity.cl:39-42).
+
+    The three row blocks are staged into one VMEM scratch and the 51 taps
+    run as a fori_loop with a dynamic (non-lane) ref slice — the unrolled
+    form kept every tap temporary live and blew the VMEM stack."""
     L = arm_len
-    r3 = jnp.concatenate([rc_a[:], rc_b[:], rc_c[:]], axis=0)
+    scratch[0:y_block] = rc_a[:]
+    scratch[y_block:2 * y_block] = rc_b[:]
+    scratch[2 * y_block:3 * y_block] = rc_c[:]
     vm, vp = vm_ref[:], vp_ref[:]
     shape = (y_block,) + vm.shape[1:] + (D_pad,)
-    acc = jnp.zeros(shape, jnp.float32)
-    for i in range(-L, L + 1):
-        tap = r3[y_block + i:y_block + i + y_block].astype(jnp.float32)
-        m = (i >= vm) & (i <= vp)
-        acc = acc + jnp.where(m[..., None], tap, 0.0)
-    d_lane = lax.broadcasted_iota(jnp.float32, shape, 2)
+
+    def body(t, acc):
+        i = (t - L).astype(jnp.float32)
+        tap = scratch[pl.ds(t + (y_block - L), y_block)].astype(jnp.float32)
+        # Mask-multiply instead of where: Mosaic cannot minor-dim-expand
+        # an i1 vector, and the counts are finite so 0*tap is exact.
+        m = ((i >= vm) & (i <= vp)).astype(jnp.float32)
+        return acc + m[..., None] * tap
+
+    acc = lax.fori_loop(0, 2 * L + 1, body, jnp.zeros(shape, jnp.float32))
+    d_lane = lax.broadcasted_iota(jnp.int32, shape, 2).astype(jnp.float32)
     combined = acc * D_pad + d_lane
     out_ref[:] = jnp.max(combined, axis=2)
 
@@ -346,6 +363,7 @@ def histogram_vote_pallas(disp_img, arms_l, d_max: int, quantize: bool = True,
         out_specs=pl.BlockSpec((y_b2, w_b), lambda i, jx: (i, jx),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_y2 * y_b2, W_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3 * y_b2, w_b, D_pad), jnp.bfloat16)],
         interpret=interpret,
     )(rc_p, rc_p, rc_p, vm, vp)[:H, :W]
 

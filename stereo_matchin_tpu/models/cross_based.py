@@ -56,10 +56,14 @@ def cross_pipeline_fused(left, right, cfg: StereoConfig) -> CrossResult:
 
 
 # --- staged variant -----------------------------------------------------
-# On the TPU backend the fused program's XLA optimization time explodes
-# superlinearly (~670 s vs ~35 s for the stages compiled separately,
-# measured round 1) while the staged runtime costs <1 ms extra in HBM
-# round-trips on a 16.7 ms pipeline, so TPU uses stages.
+# Round 1: the fused program's XLA optimization time exploded (~670 s) on
+# TPU because the unrolled taps graphs were huge, so TPU ran stage-level
+# jits.  Round 2's Pallas kernels (kernels/cross_oii.py) shrink the graph
+# to a handful of custom calls: the fused program cold-compiles in ~5 s
+# and runs ~5.4 ms on tsukuba (vs ~16.7 ms round 1), so every backend now
+# uses the fused path.  The staged jits remain for the per-stage
+# benchmark harness (bench/harness.py), which must time each kernel
+# separately to fill the reference's TSV columns.
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _arms_stage(img, arm_len, tau, quirk):
@@ -108,7 +112,5 @@ def cross_pipeline_staged(left, right, cfg: StereoConfig) -> CrossResult:
 
 
 def cross_pipeline(left, right, cfg: StereoConfig) -> CrossResult:
-    """Backend-appropriate entry point (see staged-variant note above)."""
-    if jax.default_backend() in ("tpu", "axon"):
-        return cross_pipeline_staged(left, right, cfg)
+    """Entry point: the fused single-program path (see note above)."""
     return cross_pipeline_fused(left, right, cfg)

@@ -131,11 +131,20 @@ def cross_aggregate(cost, arms_l, arms_r, arm_len: int = 25,
     arm_len: static bound on arm length (StereoConfig.arm_len) — sizes the
     tap range of the "taps" implementation.
     impl: "prefix" = cumsum + arm-indexed gathers (mirrors the reference's
-    integral-image reads); "taps" = masked static shifts (TPU-fast, same
-    index sets, different float sum order); "auto" picks by backend.
+    integral-image reads); "taps" = masked static shifts (same index sets,
+    different float sum order); "pallas" = fused VMEM-resident tap kernels
+    (bit-identical to "taps", one HBM pass per direction, and a compact
+    XLA graph — the unrolled taps graph made TPU compiles explode);
+    "auto" picks pallas on TPU, prefix elsewhere.
     """
     if impl == "auto":
-        impl = "taps" if jax.default_backend() in ("tpu", "axon") else "prefix"
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "prefix"
+    if impl == "pallas":
+        from ..kernels.cross_oii import cross_aggregate_pallas
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return cross_aggregate_pallas(cost, arms_l, arms_r, arm_len,
+                                      interpret=interpret)
     if impl == "prefix":
         temp = oii_hcross(integral_h(cost), arms_l, arms_r)
         return oii_vcross(integral_v(temp), arms_l, arms_r)

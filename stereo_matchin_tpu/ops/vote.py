@@ -94,11 +94,20 @@ def histogram_vote(disp_img, arms_l, d_max: int, quantize: bool = True,
     arms_l: (4, H, W) int32 left-image arms [h-, h+, v-, v+], minus negative.
     arm_len: static arm bound (sizes the taps implementation).
     impl: "prefix" (cumsum + gathers, edge-corrected), "taps" (masked
-    static shifts — integer-identical, TPU-fast), or "auto" by backend.
+    static shifts — integer-identical), "pallas" (MXU one-hot matmul
+    horizontal pass + lane-layout vertical pass, integer-identical and
+    graph-compact), or "auto" (pallas on TPU, prefix elsewhere).
     Returns the refined disparity as a stored image value in [0,1].
     """
     if impl == "auto":
-        impl = "taps" if jax.default_backend() in ("tpu", "axon") else "prefix"
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "prefix"
+    if impl == "pallas":
+        from ..kernels.cross_oii import histogram_vote_pallas
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return histogram_vote_pallas(disp_img, arms_l, d_max,
+                                     quantize=quantize, arm_len=arm_len,
+                                     interpret=interpret)
     num_disp = d_max + 1
     idx = vote_indices(disp_img, d_max)                      # (H, W) int32
     ds = jnp.arange(num_disp, dtype=jnp.int32)[:, None, None]

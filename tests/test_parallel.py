@@ -116,6 +116,30 @@ def test_sharded_asw_pallas_kernels(pair, reference, mesh_cfg):
     np.testing.assert_array_equal(got.filled, reference.filled)
 
 
+@pytest.mark.slow
+def test_sharded_asw_full_geometry():
+    """One sharded-equality case at the FULL reference geometry
+    (radius=16, d_max=60, W=450 — the non-128-multiple width whose Pallas
+    lane padding broke Mosaic in round 1, e5ad811).  Toy-geometry cases
+    above can miss geometry-dependent bugs; this one exercises the real
+    block shapes.  r/k trimmed to keep the CPU-mesh run in minutes — the
+    kernels' shapes (the failure surface) depend on radius/d_max/W, not
+    the iteration counts."""
+    cfg = StereoConfig(d_max=60, radius=16, arm_len=25, r_iters=2, k_iters=1)
+    rng = np.random.default_rng(3)
+    left = (rng.integers(0, 256, (1, 64, 450, 3)) / np.float32(255.0)).astype(
+        np.float32)
+    right = np.roll(left, -5, axis=2)
+    left, right = jnp.asarray(left), jnp.asarray(right)
+    ref = jax.vmap(lambda l, r: asw.asw_pipeline(l, r, cfg))(left, right)
+    mesh = build_mesh(MeshConfig(batch=1, row=2, disp=2))
+    f = make_asw_sharded(cfg.replace(kernels="pallas"), mesh)
+    got = jax.tree.map(np.asarray, f(left, right))
+    np.testing.assert_array_equal(got.wta_left, np.asarray(ref.wta_left))
+    np.testing.assert_array_equal(got.disparity, np.asarray(ref.disparity))
+    np.testing.assert_array_equal(got.filled, np.asarray(ref.filled))
+
+
 @pytest.mark.parametrize(
     "mesh_cfg",
     [
