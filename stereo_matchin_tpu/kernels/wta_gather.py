@@ -1,0 +1,146 @@
+"""Pallas kernel for the epipolar diagonal gather + masked two-min.
+
+Reference: the target-view derivation of `asw_wta.cl:55-67` /
+`asw_wta_ref.cl:40-51` (the bresenham epipolar scan), vectorised as the
+diagonal gather of ops/wta_fast.py.  The XLA formulation materialises an
+(H, K, W) one-hot tensor per call (~172 MB on teddy) and the gathered
+(D, H, W) volume; with k=6 refinement iterations plus the initial WTA
+that is 7 round trips per frame over a diagonal-sheared volume that NEVER
+CHANGES inside the refinement loop (the aggregated cost is a loop
+constant — main.cpp re-reads asw_cost_buffer[1] every asw_WTA_REF
+launch).
+
+This kernel takes the sheared volume `diag` (built once per frame,
+layout (H, D, K)) and, per image row on the MXU:
+
+  * resolves the per-pixel diagonal offset with an in-VMEM one-hot
+    (K x W) matmul — nothing K-sized ever reaches HBM;
+  * applies the optional WTA_REF penalty 0.085*den*|ref - i| in-register;
+  * runs the masked two-min with ties to the LARGEST plane (the scan
+    -order semantics) and the big-cap rules, bit-identically to
+    wta_fast._masked_two_min_high_tie;
+  * extracts the clamped-tail base plane cost[b0, y, 0].
+
+Outputs are four (H, W) maps; everything volume-sized stays in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .asw_aggregation import _pad_cols, _pad_rows
+
+
+def build_diag(cost):
+    """Diagonal-sheared volume, (H, D, K) with K = W + D - 1:
+    diag[y, b, k] = cost[b, y, clip(k - (D-1) + b, 0, W-1)].
+
+    Built ONCE per frame (it depends only on the aggregated cost volume)
+    and reused by the initial WTA and all k refinement re-WTAs.
+    """
+    D = cost.shape[0]
+    sheared = jnp.stack(
+        [jnp.pad(cost[b], [(0, 0), (D - 1 - b, b)], mode="edge")
+         for b in range(D)], axis=0)                    # (D, H, K)
+    return jnp.moveaxis(sheared, 0, 1)                  # (H, D, K)
+
+
+def _diag_wta_kernel(d1_ref, sc_ref, ct_ref, diag_ref, c1_ref, c2_ref,
+                     d_ref, base_ref, *, D: int, W: int, big: float,
+                     y_block: int):
+    Wp = d1_ref.shape[1]
+    Kp = diag_ref.shape[2]
+    x_lane = lax.broadcasted_iota(jnp.int32, (1, Wp), 1).astype(jnp.float32)
+    k_sub = lax.broadcasted_iota(jnp.int32, (Kp, Wp), 0).astype(jnp.float32)
+    b_sub = lax.broadcasted_iota(jnp.int32, (D, Wp), 0).astype(jnp.float32)
+
+    def row(y, _):
+        d1 = d1_ref[pl.ds(y, 1), :]                     # (1, Wp)
+        sc = sc_ref[pl.ds(y, 1), :]
+        ct = ct_ref[pl.ds(y, 1), :]
+        j = x_lane - d1 + (D - 1)                       # diagonal offset
+        onehot = (k_sub == j).astype(jnp.float32)       # (Kp, Wp)
+        diag_y = diag_ref[y]                            # (D, Kp)
+        g = lax.dot_general(diag_y, onehot, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (D, Wp)
+        i_of_b = d1 - b_sub                             # step index i
+        vals0 = g + sc * jnp.abs(ct - i_of_b)
+        lo = jnp.maximum(1.0, d1 - x_lane)
+        mask = (b_sub >= lo) & (b_sub <= d1) & (vals0 < big)
+        inf = jnp.float32(jnp.inf)
+        vals = jnp.where(mask, vals0, inf)
+        c1_raw = jnp.min(vals, axis=0, keepdims=True)   # (1, Wp)
+        # Tie to the LARGEST b (reversed-argmin semantics).
+        is_min = vals == c1_raw
+        b_win = jnp.max(jnp.where(is_min, b_sub, -1.0), axis=0, keepdims=True)
+        masked = jnp.where(b_sub == b_win, inf, vals)
+        c2_raw = jnp.min(masked, axis=0, keepdims=True)
+        any_update = c1_raw < big
+        d_out = jnp.where(any_update, b_win, d1)
+        c1 = jnp.minimum(c1_raw, big)
+        c2 = jnp.where(any_update, jnp.minimum(c2_raw, big), big)
+        # Clamped-tail base plane: gathered[b0] with b0 = max(d1 - x, 0).
+        b0 = jnp.maximum(d1 - x_lane, 0.0)
+        base = jnp.sum(jnp.where(b_sub == b0, g, 0.0), axis=0, keepdims=True)
+        c1_ref[pl.ds(y, 1), :] = c1
+        c2_ref[pl.ds(y, 1), :] = c2
+        d_ref[pl.ds(y, 1), :] = d_out
+        base_ref[pl.ds(y, 1), :] = base
+        return 0
+
+    lax.fori_loop(0, y_block, row, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("big", "interpret"))
+def wta_diag_pallas(diag_hdk, d1, penalty_scale=None, penalty_center=None,
+                    big: float = 1e5, interpret: bool = False):
+    """diag_hdk: (H, D, K) from build_diag; d1: (H, W) float (integer-
+    valued) left winner; optional penalty maps (H, W).
+
+    Returns (mc1, mc2, md, base), each (H, W) f32 — the unclamped-probe
+    two-min (big-capped, fallback d1) and the tail base plane, matching
+    the XLA helpers bit-exactly.
+    """
+    H, D, K = diag_hdk.shape
+    W = K - (D - 1)
+    W_pad = -(-W // 128) * 128
+    K_pad = -(-K // 128) * 128
+    y_b = min(16, -(-H // 8) * 8)
+    n_y = -(-H // y_b)
+    H_pad = n_y * y_b
+
+    dt = jnp.float32
+    d1f = _pad_cols(_pad_rows(d1.astype(dt), H_pad, axis=0), W_pad)
+    zeros = jnp.zeros((H, W), dt)
+    sc = penalty_scale if penalty_scale is not None else zeros
+    ct = penalty_center if penalty_center is not None else zeros
+    sc = _pad_cols(_pad_rows(sc.astype(dt), H_pad, axis=0), W_pad)
+    ct = _pad_cols(_pad_rows(ct.astype(dt), H_pad, axis=0), W_pad)
+    diag_p = jnp.pad(diag_hdk.astype(dt),
+                     [(0, H_pad - H), (0, 0), (0, K_pad - K)])
+
+    kernel = functools.partial(_diag_wta_kernel, D=D, W=W, big=big,
+                               y_block=y_b)
+    map_spec = pl.BlockSpec((y_b, W_pad), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((H_pad, W_pad), dt)
+    c1, c2, d, base = pl.pallas_call(
+        kernel,
+        grid=(n_y,),
+        in_specs=[
+            map_spec, map_spec, map_spec,
+            pl.BlockSpec((y_b, D, K_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[map_spec, map_spec, map_spec, map_spec],
+        out_shape=[out_shape, out_shape, out_shape, out_shape],
+        interpret=interpret,
+    )(d1f, sc, ct, diag_p)
+    crop = lambda a: a[:H, :W]
+    return crop(c1), crop(c2), crop(d), crop(base)

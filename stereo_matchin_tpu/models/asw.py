@@ -78,7 +78,17 @@ def asw_pipeline_impl(left: jax.Array, right: jax.Array,
         aggr = ops.asw_aggregate(cost0, wv_l, wv_r, wh_l, wh_r, R,
                                  cfg.r_iters, cfg.eps)
 
-    res = ops.wta_fast(aggr, big=cfg.big)
+    # The aggregated volume is a k-loop constant (main.cpp re-reads
+    # asw_cost_buffer[1] in every asw_WTA_REF launch), so the diagonal
+    # shear the WTA target scans gather from is hoisted and built once.
+    if jax.default_backend() in ("tpu", "axon"):
+        from ..kernels.wta_gather import build_diag
+
+        diag = build_diag(aggr)
+    else:
+        diag = None
+
+    res = ops.wta_fast(aggr, big=cfg.big, diag=diag)
     wta_left_img = _to_image(res.disp_ref, cfg)
     wta_right_img = _to_image(res.disp_target, cfg)
 
@@ -97,7 +107,7 @@ def asw_pipeline_impl(left: jax.Array, right: jax.Array,
         val_l, den_l = ops.refine_view(rv_l, rh_l, filled_q, conf_ref, R, cfg.eps)
         val_r, den_r = ops.refine_view(rv_r, rh_r, right_q, conf_tar, R, cfg.eps)
         r = ops.wta_refined_fast(aggr, val_l, den_l, val_r, den_r,
-                                 cfg.penalty, big=cfg.big)
+                                 cfg.penalty, big=cfg.big, diag=diag)
         if cfg.wta_ref_conf_bug:
             # asw_wta_ref.cl:63-66: reference confidence gets the TARGET
             # confidence; the target buffer keeps its previous value.
@@ -190,7 +200,14 @@ def asw_pipeline_debug_impl(left, right, cfg: StereoConfig) -> ASWDebug:
     aggr, (agg_l, agg_r) = jax.lax.scan(rbody, cost0, None,
                                         length=cfg.r_iters)
 
-    res = ops.wta_fast(aggr, big=cfg.big)
+    if jax.default_backend() in ("tpu", "axon"):
+        from ..kernels.wta_gather import build_diag
+
+        diag = build_diag(aggr)
+    else:
+        diag = None
+
+    res = ops.wta_fast(aggr, big=cfg.big, diag=diag)
     wta_left_img = _to_image(res.disp_ref, cfg)
     wta_right_img = _to_image(res.disp_target, cfg)
     cons = ops.consistency(wta_left_img * cfg.d_max,
@@ -211,7 +228,7 @@ def asw_pipeline_debug_impl(left, right, cfg: StereoConfig) -> ASWDebug:
         val_r, den_r = ops.refine_view(rv_r, rh_r, right_q, conf_tar, R,
                                        cfg.eps)
         r = ops.wta_refined_fast(aggr, val_l, den_l, val_r, den_r,
-                                 cfg.penalty, big=cfg.big)
+                                 cfg.penalty, big=cfg.big, diag=diag)
         if cfg.wta_ref_conf_bug:
             new_conf_ref, new_conf_tar = r.conf_target, conf_tar
         else:

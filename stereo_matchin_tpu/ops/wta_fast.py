@@ -14,7 +14,11 @@ LARGEST b (earlier scan step).  The clamped tail (i > x, only pixels with
 x < d1) revisits the single plane b0 = d1 - x with, in the WTA_REF case, a
 varying penalty |ref - i|; it is replayed exactly by a 60-step loop over
 *maps* (no volume reads).  Results are bit-identical to the sequential
-scans (pinned by tests against ops.wta / ops.wta_refined).
+scans (pinned by tests against ops.wta / ops.wta_refined) on the CPU
+path; the TPU path (kernels/wta_gather fused gather+two-min) is
+bit-identical in the no-penalty case and within 1 ulp on the WTA_REF
+penalty term (FMA contraction is compiler-discretionary across
+programs — tests/test_kernels_wta.py).
 """
 
 from __future__ import annotations
@@ -80,11 +84,29 @@ def _gather_diagonal_mxu(cost, d1):
 
 
 def _target_scan_fast(cost, d1, penalty_scale=None, penalty_center=None,
-                      big: float = 1e5):
-    """Exact vectorised asw_wta.cl:55-67 / asw_wta_ref.cl:40-51 target scan."""
+                      big: float = 1e5, diag=None):
+    """Exact vectorised asw_wta.cl:55-67 / asw_wta_ref.cl:40-51 target scan.
+
+    diag: optional (H, D, K) sheared volume from kernels.wta_gather.
+    build_diag — pass it when calling repeatedly on the SAME cost volume
+    (the k-loop re-WTAs) so the shear is built once, and the TPU path
+    runs the fused Pallas gather+two-min kernel (nothing K-sized touches
+    HBM per call)."""
     D, H, W = cost.shape
     xs = jnp.arange(W, dtype=jnp.int32)[None, :]
     dt = cost.dtype
+
+    if jax.default_backend() in ("tpu", "axon"):
+        from ..kernels.wta_gather import build_diag, wta_diag_pallas
+
+        if diag is None:
+            diag = build_diag(cost)
+        mc1, mc2, mdf, base = wta_diag_pallas(
+            diag, d1.astype(dt), penalty_scale, penalty_center, big)
+        md = mdf.astype(jnp.int32)
+        b0 = jnp.maximum(d1 - xs, 0)
+        return _tail_and_merge(d1, xs, mc1, mc2, md, base, b0,
+                               penalty_scale, penalty_center, big, dt, D, H, W)
 
     # --- unclamped probes: one diagonal gather -----------------------------
     bs = jnp.arange(D, dtype=jnp.int32)[:, None, None]
@@ -104,6 +126,12 @@ def _target_scan_fast(cost, d1, penalty_scale=None, penalty_center=None,
     b0 = jnp.maximum(d1 - xs, 0)                        # (H, W); valid iff d1 > x
     base = jnp.take_along_axis(gathered, b0[None].astype(jnp.int32),
                                axis=0)[0]               # cost[b0, y, 0]
+    return _tail_and_merge(d1, xs, mc1, mc2, md, base, b0,
+                           penalty_scale, penalty_center, big, dt, D, H, W)
+
+
+def _tail_and_merge(d1, xs, mc1, mc2, md, base, b0, penalty_scale,
+                    penalty_center, big, dt, D, H, W):
 
     def tail_body(i, carry):
         c1, c2 = carry
@@ -132,18 +160,24 @@ def _target_scan_fast(cost, d1, penalty_scale=None, penalty_center=None,
     return d, conf
 
 
-def wta_fast(cost, big: float = 1e5) -> WTAResult:
-    """Drop-in replacement for ops.wta (bit-identical results)."""
+def wta_fast(cost, big: float = 1e5, diag=None) -> WTAResult:
+    """Drop-in replacement for ops.wta (bit-identical results).
+
+    diag: optional precomputed build_diag(cost) (see _target_scan_fast)."""
     c1, c2, d1 = two_min_scan(cost, big=big)
     conf_ref = (c2 - c1) / c2
-    d_t, conf_t = _target_scan_fast(cost, d1, big=big)
+    d_t, conf_t = _target_scan_fast(cost, d1, big=big, diag=diag)
     return WTAResult(d1.astype(cost.dtype), conf_ref,
                      d_t.astype(cost.dtype), conf_t)
 
 
 def wta_refined_fast(cost, ref_value, ref_denom, ref_value_t, ref_denom_t,
-                     penalty: float, big: float = 1e5) -> WTAResult:
-    """Drop-in replacement for ops.wta_refined (bit-identical results)."""
+                     penalty: float, big: float = 1e5, diag=None) -> WTAResult:
+    """Drop-in replacement for ops.wta_refined (bit-identical results).
+
+    diag: optional precomputed build_diag(cost) — the k-loop calls this
+    on the SAME aggregated volume every iteration, so the caller hoists
+    the shear (main.cpp re-reads asw_cost_buffer[1] per launch)."""
     D = cost.shape[0]
     ds = jnp.arange(D, dtype=cost.dtype)[:, None, None]
     pen = penalty * ref_denom[None] * jnp.abs(ref_value[None] - ds)
@@ -151,6 +185,6 @@ def wta_refined_fast(cost, ref_value, ref_denom, ref_value_t, ref_denom_t,
     conf_ref = (c2 - c1) / c2
     d_t, conf_t = _target_scan_fast(
         cost, d1, penalty_scale=penalty * ref_denom_t,
-        penalty_center=ref_value_t, big=big)
+        penalty_center=ref_value_t, big=big, diag=diag)
     return WTAResult(d1.astype(cost.dtype), conf_ref,
                      d_t.astype(cost.dtype), conf_t)

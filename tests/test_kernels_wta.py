@@ -1,0 +1,83 @@
+"""wta_gather Pallas kernel vs the XLA diagonal-gather helpers.
+
+The kernel must reproduce the masked two-min (high-tie, big-capped,
+d1-fallback) and the tail base plane bit-exactly — wta_fast's outputs are
+pinned bit-identical to the sequential ops.wta scans, so any drift here
+would break that chain.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stereo_matchin_tpu.kernels.wta_gather import build_diag, wta_diag_pallas
+from stereo_matchin_tpu.ops.wta_fast import (_gather_diagonal,
+                                             _masked_two_min_high_tie)
+
+BIG = 1e5
+
+
+def _reference(cost, d1, scale=None, center=None):
+    D, H, W = cost.shape
+    xs = jnp.arange(W, dtype=jnp.int32)[None, :]
+    bs = jnp.arange(D, dtype=jnp.int32)[:, None, None]
+    gathered = _gather_diagonal(cost, d1)
+    if scale is not None:
+        i_of_b = (d1[None] - bs).astype(cost.dtype)
+        vals = gathered + scale[None] * jnp.abs(center[None] - i_of_b)
+    else:
+        vals = gathered
+    lo = jnp.maximum(1, d1[None] - xs[None])
+    mask = (bs >= lo) & (bs <= d1[None]) & (vals < BIG)
+    vals = jnp.where(mask, vals, jnp.inf)
+    mc1, mc2, md = _masked_two_min_high_tie(vals, d1, BIG)
+    b0 = jnp.maximum(d1 - xs, 0)
+    base = jnp.take_along_axis(gathered, b0[None].astype(jnp.int32), axis=0)[0]
+    return mc1, mc2, md, base
+
+
+@pytest.mark.parametrize("H,W,D", [(16, 24, 8), (24, 20, 11), (8, 40, 5)])
+@pytest.mark.parametrize("with_penalty", [False, True])
+def test_wta_diag_pallas_matches_xla(rng, H, W, D, with_penalty):
+    cost = jnp.asarray(rng.random((D, H, W), dtype=np.float32) * 50.0)
+    # Include big-cost planes so the big-cap/fallback rules are exercised.
+    cost = cost.at[:, :2, :3].set(2e5)
+    d1 = jnp.asarray(rng.integers(0, D, size=(H, W)), jnp.int32)
+    scale = center = None
+    if with_penalty:
+        scale = jnp.asarray(rng.random((H, W), dtype=np.float32))
+        center = jnp.asarray(rng.integers(0, D, (H, W)).astype(np.float32))
+    want = _reference(cost, d1, scale, center)
+    diag = build_diag(cost)
+    got = wta_diag_pallas(diag, d1.astype(jnp.float32), scale, center,
+                          big=BIG, interpret=True)
+    if not with_penalty:
+        # No-penalty path is bit-exact (single-term one-hot contraction).
+        for name, w, g in zip(("c1", "c2", "d", "base"), want, got):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(w, dtype=np.float32), err_msg=name)
+        return
+    # With the penalty term, g + scale*|center - i| may or may not be
+    # FMA-contracted — a compiler decision that differs between programs
+    # — so c1/c2 can drift by 1 ulp and a razor-edge tie can flip the
+    # winner.  Pin 1-ulp closeness and near-total winner agreement.
+    for name, w, g in zip(("c1", "c2"), want[:2], got[:2]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=3e-7, atol=0, err_msg=name)
+    d_match = (np.asarray(got[2]) == np.asarray(want[2])).mean()
+    assert d_match > 0.995, d_match
+    np.testing.assert_array_equal(np.asarray(got[3]),
+                                  np.asarray(want[3], dtype=np.float32))
+
+
+def test_wta_fast_accepts_hoisted_diag(rng):
+    """Passing a precomputed diag must not change wta_fast's outputs (on
+    CPU the diag path is unused but the argument must be accepted)."""
+    from stereo_matchin_tpu import ops
+
+    cost = jnp.asarray(rng.random((6, 12, 16), dtype=np.float32))
+    a = ops.wta_fast(cost, big=BIG)
+    b = ops.wta_fast(cost, big=BIG, diag=build_diag(cost))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
