@@ -18,9 +18,12 @@ columns are comparable:
 Timing note: through the device relay `block_until_ready` can return
 before execution finishes, so every measurement syncs on an on-device
 scalar reduction fetched to the host.  That sync costs one relay round
-trip (~25 ms here), so per-stage numbers carry a constant floor; the
-end-to-end pipeline numbers in bench.py (one sync per run) are the
-accurate totals.
+trip (~25 ms here).  To keep per-stage numbers meaningful, StageTimer
+dispatches each stage `reps` times (default 8) per sync and divides —
+the device queue is serial, so N dispatches + one sync time N true runs
+plus one floor, amortising the floor to ~3 ms/stage.  bench.py's
+two-block-size slope timing removes the constant exactly for the
+end-to-end totals.
 """
 
 from __future__ import annotations
@@ -63,17 +66,26 @@ def _sync(out) -> None:
 
 
 class StageTimer:
-    """Times callables with the sync bracket; accumulates named stages."""
+    """Times callables with the sync bracket; accumulates named stages.
 
-    def __init__(self):
+    reps: dispatches per sync (floor amortisation, see module docstring).
+    The stage functions are pure, so re-dispatching is side-effect-free;
+    the first call's output is returned for the pipeline dataflow.
+    """
+
+    def __init__(self, reps: int = 8):
         self.times: Dict[str, float] = {}
+        self.reps = max(1, reps)
 
     def run(self, name: str, fn: Callable, *args):
         t0 = time.perf_counter()
         out = fn(*args)
-        _sync(out)
+        extra = None
+        for _ in range(self.reps - 1):
+            extra = fn(*args)
+        _sync(extra if extra is not None else out)
         self.times[name] = self.times.get(name, 0.0) + (
-            time.perf_counter() - t0) * 1000.0
+            time.perf_counter() - t0) * 1000.0 / self.reps
         return out
 
     def ms(self, name: str) -> float:

@@ -51,24 +51,34 @@ def build_diag(cost):
     return jnp.moveaxis(sheared, 0, 1)                  # (H, D, K)
 
 
-def _diag_wta_kernel(d1_ref, sc_ref, ct_ref, diag_ref, c1_ref, c2_ref,
+def _diag_wta_kernel(d1_ref, sc_ref, ct_ref, diag_a, diag_b, c1_ref, c2_ref,
                      d_ref, base_ref, *, D: int, W: int, big: float,
-                     y_block: int):
-    Wp = d1_ref.shape[1]
-    Kp = diag_ref.shape[2]
-    x_lane = lax.broadcasted_iota(jnp.int32, (1, Wp), 1).astype(jnp.float32)
-    k_sub = lax.broadcasted_iota(jnp.int32, (Kp, Wp), 0).astype(jnp.float32)
-    b_sub = lax.broadcasted_iota(jnp.int32, (D, Wp), 0).astype(jnp.float32)
+                     y_block: int, w_block: int):
+    """One (row_block, x_block) program.
+
+    The lane (x) dimension is blocked so W-sized one-hot operands never
+    exceed VMEM at Middlebury-2014 widths: the diagonal offsets of an
+    x-block span only w_block + D - 1 k-values starting at the block's
+    first column, so two consecutive k-blocks of `diag` (requires
+    w_block >= D - 1) cover every probe, and the LOCAL offset
+    j_local = x_local - d1 + (D-1) is x-block-independent.
+    """
+    wb = w_block
+    x_loc = lax.broadcasted_iota(jnp.int32, (1, wb), 1).astype(jnp.float32)
+    x_lane = pl.program_id(1) * wb + x_loc              # global column
+    k_sub = lax.broadcasted_iota(jnp.int32, (2 * wb, wb), 0).astype(
+        jnp.float32)
+    b_sub = lax.broadcasted_iota(jnp.int32, (D, wb), 0).astype(jnp.float32)
 
     def row(y, _):
-        d1 = d1_ref[pl.ds(y, 1), :]                     # (1, Wp)
+        d1 = d1_ref[pl.ds(y, 1), :]                     # (1, wb)
         sc = sc_ref[pl.ds(y, 1), :]
         ct = ct_ref[pl.ds(y, 1), :]
-        j = x_lane - d1 + (D - 1)                       # diagonal offset
-        onehot = (k_sub == j).astype(jnp.float32)       # (Kp, Wp)
-        diag_y = diag_ref[y]                            # (D, Kp)
+        j = x_loc - d1 + (D - 1)                        # local diagonal offset
+        onehot = (k_sub == j).astype(jnp.float32)       # (2*wb, wb)
+        diag_y = jnp.concatenate([diag_a[y], diag_b[y]], axis=1)  # (D, 2*wb)
         g = lax.dot_general(diag_y, onehot, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (D, Wp)
+                            preferred_element_type=jnp.float32)  # (D, wb)
         i_of_b = d1 - b_sub                             # step index i
         vals0 = g + sc * jnp.abs(ct - i_of_b)
         lo = jnp.maximum(1.0, d1 - x_lane)
@@ -109,9 +119,14 @@ def wta_diag_pallas(diag_hdk, d1, penalty_scale=None, penalty_center=None,
     """
     H, D, K = diag_hdk.shape
     W = K - (D - 1)
-    W_pad = -(-W // 128) * 128
-    K_pad = -(-K // 128) * 128
-    y_b = min(16, -(-H // 8) * 8)
+    # Lane blocking: w_b >= D-1 so two consecutive k-blocks cover every
+    # probe of an x-block (see kernel docstring).
+    w_b = max(min(-(-W // 128) * 128, 512), -(-(D - 1) // 128) * 128)
+    n_x = -(-W // w_b)
+    W_pad = n_x * w_b
+    # Row blocking sized to keep the two diag blocks within ~8 MB VMEM.
+    y_b = max(8, min(16, (8_000_000 // (2 * D * w_b * 4)) // 8 * 8))
+    y_b = min(y_b, -(-H // 8) * 8)
     n_y = -(-H // y_b)
     H_pad = n_y * y_b
 
@@ -122,25 +137,25 @@ def wta_diag_pallas(diag_hdk, d1, penalty_scale=None, penalty_center=None,
     ct = penalty_center if penalty_center is not None else zeros
     sc = _pad_cols(_pad_rows(sc.astype(dt), H_pad, axis=0), W_pad)
     ct = _pad_cols(_pad_rows(ct.astype(dt), H_pad, axis=0), W_pad)
+    K_pad = (n_x + 1) * w_b
     diag_p = jnp.pad(diag_hdk.astype(dt),
                      [(0, H_pad - H), (0, 0), (0, K_pad - K)])
 
     kernel = functools.partial(_diag_wta_kernel, D=D, W=W, big=big,
-                               y_block=y_b)
-    map_spec = pl.BlockSpec((y_b, W_pad), lambda i: (i, 0),
+                               y_block=y_b, w_block=w_b)
+    map_spec = pl.BlockSpec((y_b, w_b), lambda i, jx: (i, jx),
                             memory_space=pltpu.VMEM)
+    diag_spec = lambda k: pl.BlockSpec(
+        (y_b, D, w_b), lambda i, jx, k=k: (i, 0, jx + k),
+        memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((H_pad, W_pad), dt)
     c1, c2, d, base = pl.pallas_call(
         kernel,
-        grid=(n_y,),
-        in_specs=[
-            map_spec, map_spec, map_spec,
-            pl.BlockSpec((y_b, D, K_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=(n_y, n_x),
+        in_specs=[map_spec, map_spec, map_spec, diag_spec(0), diag_spec(1)],
         out_specs=[map_spec, map_spec, map_spec, map_spec],
         out_shape=[out_shape, out_shape, out_shape, out_shape],
         interpret=interpret,
-    )(d1f, sc, ct, diag_p)
+    )(d1f, sc, ct, diag_p, diag_p)
     crop = lambda a: a[:H, :W]
     return crop(c1), crop(c2), crop(d), crop(base)

@@ -81,11 +81,18 @@ def asw_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int):
 def cross_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int):
     """Banded cross-method run; returns (initial, final) maps.
 
-    Forces the taps OII implementation — the prefix integral images are
-    not translation-invariant in float (column cumsums start at the band
-    top), which flips argmin ties between banded and full runs.
+    Forces a translation-invariant OII implementation — the prefix
+    integral images are not (column cumsums start at the band top), which
+    flips argmin ties between banded and full runs.  "taps" and "pallas"
+    both evaluate per-pixel windows whose only boundary effects (the
+    dropped row/column-0 quirk and the edge clamp) stay within the
+    influence halo that the band driver crops, so banded == full for the
+    kept rows; "pallas" is the TPU path, "taps" elsewhere.
     """
-    cfg = cfg.replace(oii_impl="taps")
+    if cfg.oii_impl in ("auto", "prefix"):
+        impl = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                else "taps")
+        cfg = cfg.replace(oii_impl=impl)
     reach = cross_reach(cfg)
 
     def run_band(l, r):
