@@ -133,8 +133,10 @@ def bench_config3_band(runs: int = 2):
     cfg = REFERENCE_CONFIG.replace(d_max=279)
     W, H = 2880, 1988
     reach = asw_reach(cfg)
-    band_rows = 128                     # kept rows per band
-    rows = band_rows + 2 * reach        # band + influence halo
+    band_rows = 192                     # kept rows per band (HBM-bound:
+    rows = band_rows + 2 * reach        # larger bands amortise the halo
+    #                                     but ~5 volume-sized buffers at
+    #                                     (280, rows, 2944) must fit HBM)
     rng = np.random.default_rng(0)
     base = rng.random((rows, W, 3), dtype=np.float32)
     left = jnp.asarray(base)
@@ -250,8 +252,16 @@ def main() -> int:
 
     rep = bench_scaling_subprocess()
     if rep is not None:
-        emit("weak_scaling_8dev_cpu_mesh_efficiency", rep["eff"], rep["eff"],
-             unit="ratio")
+        # 8 VIRTUAL devices share the host's physical cores, so perfect
+        # weak scaling is unreachable by construction — report the raw
+        # 8-dev/1-dev speedup; vs_baseline normalises by the physical
+        # core count (the attainable ceiling), not by 8.
+        import os
+
+        speedup = rep["eff"] * 8.0
+        ceiling = min(8, os.cpu_count() or 8)
+        emit("weak_scaling_8dev_cpu_mesh_speedup", speedup,
+             speedup / ceiling, unit="x")
     return 0
 
 

@@ -43,7 +43,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .asw_aggregation import _pad_cols, _pad_rows
+from .asw_aggregation import (_CHUNK_MAX, _lane_chunked, _pad_cols,
+                              _pad_rows)
 
 
 def _roll(x, amount, axis, interpret):
@@ -62,14 +63,18 @@ def _shift_arm(arm, d, lane, interpret):
 
 
 def _oii_h_kernel(d0_ref, cost_ref, hm_l_ref, hp_l_ref, hm_r_ref, hp_r_ref,
-                  out_ref, *, arm_len: int, W: int, interpret: bool):
+                  out_ref, *, arm_len: int, W: int, col0: int,
+                  interpret: bool):
     """One (row_block, d) program of the horizontal OII windowed mean.
 
     out[x] = sum_{j in [hm, hp], 1 <= x+j <= W-1} cost[x+j] / (hp - hm)
     with hm/hp the combined left/right arms for disparity d.  The
     (x+j >= 1) bound reproduces the reference's `max(0, x + h_minus - 1)`
     lower-prefix-index clamp that silently drops column 0 from every
-    window sum (oii_hcross.cl, SURVEY ops/oii.py notes).
+    window sum (oii_hcross.cl, SURVEY ops/oii.py notes).  W and col0 are
+    GLOBAL: a wide-image lane chunk passes the global width and the
+    global index of its local column 0, so the quirk masks stay anchored
+    to the true image borders, not the chunk's.
     """
     d = d0_ref[0, 0] + pl.program_id(1)
     shape = hm_l_ref.shape
@@ -80,7 +85,7 @@ def _oii_h_kernel(d0_ref, cost_ref, hm_l_ref, hp_l_ref, hm_r_ref, hp_r_ref,
     acc = jnp.zeros(shape, c.dtype)
     for j in range(-arm_len, arm_len + 1):
         tap = _roll(c, -j, 1, interpret)           # tap[x] = c[(x+j) mod Wp]
-        xj = lane + j
+        xj = lane + j + col0                       # global column of the tap
         m = ((j >= hm) & (j <= hp) & (xj >= 1) & (xj <= W - 1))
         acc = acc + jnp.where(m, tap, 0.0)
     out_ref[0] = acc / (hp - hm)
@@ -128,14 +133,38 @@ def _arm_planes(arms, lo: int, hi: int, H_pad: int, W_pad: int):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("arm_len", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("arm_len", "interpret", "max_shift"))
 def oii_hpass_pallas(cost, arms_l, arms_r, arm_len: int = 25,
-                     interpret: bool = False, d0=0):
+                     interpret: bool = False, d0=0,
+                     max_shift: int | None = None):
     """Horizontal OII windowed mean: cost (D, H, W), arms (4, H, W) int32
     [h-, h+, v-, v+] (minus negative) -> (D, H, W).
 
-    d0: global disparity of local plane 0 (disp-sharded path)."""
+    d0: global disparity of local plane 0 (disp-sharded path); max_shift
+    sizes the wide-image chunk halo (defaults to D - 1).  Wide images
+    run in column chunks (asw_aggregation._lane_chunked): the left halo
+    covers the right-arm rotate plus the tap reach, and the kernel's
+    column-index masks use the CHUNK-local width, whose boundary effects
+    stay within the cropped halo."""
     D, H, W = cost.shape
+    ms = (D - 1) if max_shift is None else max_shift
+    if -(-W // 128) * 128 > _CHUNK_MAX:
+        halo_l = ms + arm_len
+        return _lane_chunked(
+            lambda c, al, ar, x0=0: _oii_hpass_impl(
+                c, al, ar, arm_len=arm_len, interpret=interpret, d0=d0,
+                col0=x0 - halo_l, w_glob=W),
+            [(cost, 2), (arms_l, 2), (arms_r, 2)], W,
+            halo_l, arm_len, pass_x0=True)
+    return _oii_hpass_impl(cost, arms_l, arms_r, arm_len=arm_len,
+                           interpret=interpret, d0=d0)
+
+
+def _oii_hpass_impl(cost, arms_l, arms_r, *, arm_len: int, interpret: bool,
+                    d0, col0: int = 0, w_glob: int | None = None):
+    D, H, W = cost.shape
+    W_mask = W if w_glob is None else w_glob
     y_b = _pick_y_block(H, 0)
     n_y = -(-H // y_b)
     H_pad = n_y * y_b
@@ -144,8 +173,8 @@ def oii_hpass_pallas(cost, arms_l, arms_r, arm_len: int = 25,
     hm_l, hp_l = _arm_planes(arms_l, 0, 2, H_pad, W_pad)
     hm_r, hp_r = _arm_planes(arms_r, 0, 2, H_pad, W_pad)
     d0_arr = jnp.asarray(d0, jnp.int32).reshape(1, 1)
-    kernel = functools.partial(_oii_h_kernel, arm_len=arm_len, W=W,
-                               interpret=interpret)
+    kernel = functools.partial(_oii_h_kernel, arm_len=arm_len, W=W_mask,
+                               col0=col0, interpret=interpret)
     arm_spec = pl.BlockSpec((y_b, W_pad), lambda i, d: (i, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -166,10 +195,25 @@ def oii_hpass_pallas(cost, arms_l, arms_r, arm_len: int = 25,
     return out[:, :H, :W]
 
 
-@functools.partial(jax.jit, static_argnames=("arm_len", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("arm_len", "interpret", "max_shift"))
 def oii_vpass_pallas(temp, arms_l, arms_r, arm_len: int = 25,
-                     interpret: bool = False, d0=0):
+                     interpret: bool = False, d0=0,
+                     max_shift: int | None = None):
     """Vertical OII windowed mean over the horizontal result (D, H, W)."""
+    D, H, W = temp.shape
+    ms = (D - 1) if max_shift is None else max_shift
+    if -(-W // 128) * 128 > _CHUNK_MAX:
+        return _lane_chunked(
+            lambda t, al, ar: _oii_vpass_impl(t, al, ar, arm_len=arm_len,
+                                              interpret=interpret, d0=d0),
+            [(temp, 2), (arms_l, 2), (arms_r, 2)], W, ms, 0)
+    return _oii_vpass_impl(temp, arms_l, arms_r, arm_len=arm_len,
+                           interpret=interpret, d0=d0)
+
+
+def _oii_vpass_impl(temp, arms_l, arms_r, *, arm_len: int, interpret: bool,
+                    d0):
     D, H, W = temp.shape
     L = arm_len
     y_b = _pick_y_block(H, L)
@@ -299,7 +343,33 @@ def histogram_vote_pallas(disp_img, arms_l, d_max: int, quantize: bool = True,
     """`Disparity` vote on TPU: disp_img (H, W) [0,1] image, arms_l
     (4, H, W) int32 -> (H, W) [0,1] refined map.
 
-    Integer-identical counts to ops.histogram_vote (both impls)."""
+    Integer-identical counts to ops.histogram_vote (both impls).
+
+    Wide images run in whole-vote column chunks with an arm_len halo on
+    both sides (the horizontal pass's W x W clamp-count matrix is
+    O(width^2) VMEM).  Chunked == unchunked exactly: every tap of a kept
+    pixel lands within the halo, the halo carries real (or global-edge-
+    replicated) values, and the chunk-border clamp weights can only reach
+    1 for kept pixels — i.e. they count exactly the one real tap that
+    lands there (CLAMP_TO_EDGE over-counting needs a window extending
+    past the border, which the halo prevents)."""
+    from ..ops.vote import vote_indices
+    from ..ops.common import unorm8
+
+    H, W = disp_img.shape
+    if -(-W // 128) * 128 > _CHUNK_MAX:
+        return _lane_chunked(
+            lambda img, al: _histogram_vote_impl(
+                img, al, d_max=d_max, quantize=quantize, arm_len=arm_len,
+                interpret=interpret),
+            [(disp_img, 1), (arms_l, 2)], W, arm_len, arm_len, out_axis=1)
+    return _histogram_vote_impl(disp_img, arms_l, d_max=d_max,
+                                quantize=quantize, arm_len=arm_len,
+                                interpret=interpret)
+
+
+def _histogram_vote_impl(disp_img, arms_l, *, d_max: int, quantize: bool,
+                         arm_len: int, interpret: bool):
     from ..ops.vote import vote_indices
     from ..ops.common import unorm8
 

@@ -120,12 +120,23 @@ def wta_diag_pallas(diag_hdk, d1, penalty_scale=None, penalty_center=None,
     H, D, K = diag_hdk.shape
     W = K - (D - 1)
     # Lane blocking: w_b >= D-1 so two consecutive k-blocks cover every
-    # probe of an x-block (see kernel docstring).
-    w_b = max(min(-(-W // 128) * 128, 512), -(-(D - 1) // 128) * 128)
+    # probe of an x-block (see kernel docstring).  (w_b, y_b) are chosen
+    # to keep the double-buffered diag operand pair + the (2w x w)
+    # one-hot under the 16 MB scoped-VMEM limit at any D (config 2/3
+    # geometry: D up to ~280).
+    d_floor = max(128, -(-(D - 1) // 128) * 128)
+    w_b = max(d_floor, min(-(-W // 128) * 128, 512))
+    y_b = min(16, max(8, -(-H // 8) * 8))
+
+    def est(wb, yb):  # bytes: 2 ops x 2 buffers x diag block + one-hot
+        return 16 * yb * D * wb + 12 * wb * wb
+
+    while est(w_b, y_b) > 14_000_000 and y_b > 8:
+        y_b -= 8
+    while est(w_b, y_b) > 14_000_000 and w_b - 128 >= d_floor:
+        w_b -= 128
     n_x = -(-W // w_b)
     W_pad = n_x * w_b
-    # Row blocking sized to keep the two diag blocks within ~8 MB VMEM.
-    y_b = max(8, min(16, (8_000_000 // (2 * D * w_b * 4)) // 8 * 8))
     y_b = min(y_b, -(-H // 8) * 8)
     n_y = -(-H // y_b)
     H_pad = n_y * y_b

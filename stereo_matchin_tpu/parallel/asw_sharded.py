@@ -54,7 +54,7 @@ def _to_image(d, cfg: StereoConfig):
 
 
 def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
-              n_row: int):
+              n_row: int, platform: str = "cpu"):
     """Per-(row, disp)-shard ASW pipeline for one stereo pair.
 
     left/right: (H_loc, W, 3) local row strips (replicated over disp).
@@ -85,13 +85,18 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
     pad_mask = pad_plane[:, None, None]
     cost0 = jnp.where(pad_mask, cfg.big, cost0)
 
+    # Kernel-vs-interpret must follow the MESH's devices, not
+    # jax.default_backend(): once the axon/TPU backend has initialised,
+    # default_backend() keeps reporting it even after jax_platforms is
+    # forced to cpu (backends are cached), so a virtual-CPU-mesh dry run
+    # in a TPU-attached process would otherwise try to Mosaic-compile.
     use_pallas = cfg.kernels == "pallas" or (
-        cfg.kernels == "auto" and jax.default_backend() in ("tpu", "axon"))
+        cfg.kernels == "auto" and platform in ("tpu", "axon"))
     if use_pallas:
         from ..kernels.asw_aggregation import (asw_hpass_pallas,
                                                asw_vpass_pallas)
 
-        interp = jax.default_backend() not in ("tpu", "axon")
+        interp = platform not in ("tpu", "axon")
         # Weights for the halo-padded rows (values there only feed outputs
         # that are cropped; edge values keep row clamping consistent).
         wv_l_p = jnp.pad(wv_l, [(0, 0), (R, R), (0, 0)], mode="edge")
@@ -104,10 +109,12 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
             # centre outputs read exactly the exchanged halo (bit-exact vs
             # ops_tiled.asw_vpass_tiled).
             full = asw_vpass_pallas(c_pad, wv_l_p, wv_r_p, R, cfg.eps,
-                                    interpret=interp, d0=d0)
+                                    interpret=interp, d0=d0,
+                                    max_shift=d_pad - 1)
             cv = full[:, R:R + H_loc, :]
             ch = asw_hpass_pallas(cv, wh_l, wh_r, R, cfg.eps,
-                                  interpret=interp, d0=d0)
+                                  interpret=interp, d0=d0,
+                                  max_shift=d_pad - 1)
             return ch, None
     else:
         def aggr_body(c, _):
@@ -192,9 +199,11 @@ def make_asw_sharded(cfg: StereoConfig, mesh: Mesh):
     d_pad = math.ceil(cfg.num_disp / n_disp) * n_disp
     d_local = d_pad // n_disp
 
+    platform = getattr(mesh.devices.flat[0], "platform", "cpu")
+
     def local_fn(left, right):  # (B_loc, H_loc, W, 3)
         tile = partial(_asw_tile, cfg=cfg, d_local=d_local, d_pad=d_pad,
-                       n_row=n_row)
+                       n_row=n_row, platform=platform)
         return jax.vmap(tile)(left, right)
 
     img_spec = P(AXIS_BATCH, AXIS_ROW, None, None)

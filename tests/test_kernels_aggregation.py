@@ -78,3 +78,36 @@ def test_nondividing_height_and_full_window():
                              jnp.asarray(wr), Rx, interpret=True)
     np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_lane_chunked_passes_match_unchunked(rng):
+    """Images wider than _CHUNK_MAX padded lanes run in column chunks
+    with a max-disparity left halo (kernels.asw_aggregation
+    ._lane_chunked); chunked must equal the pure-jnp ops bit-for-bit —
+    the halo carries the exact edge-clamped values and the kernels'
+    lane-0 clamp logic only touches cropped halo lanes.  W=1300 > 1152
+    triggers the real chunk path (768 + 532 lanes)."""
+    from stereo_matchin_tpu.kernels import asw_aggregation as ka
+
+    D2, H2, W2, R2 = 5, 16, 1300, 3
+    left = jnp.asarray(rng.random((H2, W2, 3), dtype=np.float32))
+    right = jnp.asarray(np.roll(np.asarray(left), -2, axis=1))
+    cost = ops.sad_cost_volume(left, right, D2, 255.0)
+    wv_l = ops.support_weights(left, R2, 30.91, 28.21, 0)
+    wv_r = ops.support_weights(right, R2, 30.91, 28.21, 0)
+    wh_l = ops.support_weights(left, R2, 30.91, 28.21, 1)
+    wh_r = ops.support_weights(right, R2, 30.91, 28.21, 1)
+    assert -(-W2 // 128) * 128 > ka._CHUNK_MAX
+    # 1-ulp tolerance: whether num + (wl*wr)*cost is FMA-contracted is a
+    # per-program compiler decision, and at this shape the chunked
+    # program contracts differently from the ops program on ~0.07% of
+    # elements (same class as tests/test_kernels_wta.py's penalty case).
+    # Chunk-boundary errors would be orders of magnitude larger.
+    want_v, _ = ops.asw_aggregate_pass(cost, wv_l, wv_r, axis=1, radius=R2)
+    got_v = ka.asw_vpass_pallas(cost, wv_l, wv_r, R2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=3e-6, atol=0)
+    want_h, _ = ops.asw_aggregate_pass(cost, wh_l, wh_r, axis=2, radius=R2)
+    got_h = ka.asw_hpass_pallas(cost, wh_l, wh_r, R2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=3e-6, atol=0)

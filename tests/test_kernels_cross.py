@@ -71,3 +71,34 @@ def test_histogram_vote_pallas_matches_ops(rng, H, W, d_max, L):
                                       arm_len=L, interpret=True)
         np.testing.assert_allclose(np.asarray(q_got), np.asarray(q_want),
                                    atol=1e-6)
+
+
+def test_cross_kernels_wide_image_chunked(rng):
+    """Wide images (> _CHUNK_MAX padded lanes) run the lane-chunked path;
+    results must match the unchunked ops formulations — the OII quirk
+    masks are re-anchored to GLOBAL columns via col0, and the vote chunk
+    halos carry real values (see kernel docstrings)."""
+    from stereo_matchin_tpu.kernels.asw_aggregation import _CHUNK_MAX
+
+    H, W, D, L, d_max = 16, 1300, 5, 3, 4
+    assert -(-W // 128) * 128 > _CHUNK_MAX
+    left = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
+    right = jnp.asarray(np.roll(np.asarray(left), -2, axis=1))
+    arms_l = ops.cross_arms(left, arm_len=L, tau=0.35)
+    arms_r = ops.cross_arms(right, arm_len=L, tau=0.35)
+    cost = ops.sad_cost_volume(left, right, D)
+    want = ops.cross_aggregate(cost, arms_l, arms_r, arm_len=L, impl="taps")
+    got = cross_aggregate_pallas(cost, arms_l, arms_r, arm_len=L,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-6, atol=0)
+
+    d = rng.integers(0, d_max + 1, size=(H, W))
+    disp_img = jnp.asarray(ops.unorm8(d.astype(np.float32) / d_max))
+    want_v = ops.histogram_vote(disp_img, arms_l, d_max, quantize=False,
+                                arm_len=L, impl="taps")
+    got_v = histogram_vote_pallas(disp_img, arms_l, d_max, quantize=False,
+                                  arm_len=L, interpret=True)
+    np.testing.assert_array_equal(
+        np.round(np.asarray(got_v) * d_max).astype(np.int32),
+        np.round(np.asarray(want_v) * d_max).astype(np.int32))
