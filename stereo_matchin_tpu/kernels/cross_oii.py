@@ -308,32 +308,48 @@ def _vote_h_kernel(idx_ref, hm_ref, hp_ref, out_ref, *, arm_len: int,
 
 def _vote_v_kernel(rc_a, rc_b, rc_c, vm_ref, vp_ref, out_ref, scratch, *,
                    arm_len: int, y_block: int, D_pad: int):
-    """Vertical vote pass + mode: tab[y, x, d] = sum over clamped rows
-    y+i (i in [vm, vp]) of rc; output combined = max_d (tab * D_pad + d)
-    so ties go to the highest disparity (disparity.cl:39-42).
+    """Vertical vote pass + mode for ONE 128-lane disparity block:
+    tab[y, x, d] = sum over clamped rows y+i (i in [vm, vp]) of rc;
+    out = max over the grid's d blocks of (tab * D_pad + d) so ties go to
+    the highest disparity (disparity.cl:39-42).
 
-    The three row blocks are staged into one VMEM scratch and the 51 taps
-    run as a fori_loop with a dynamic (non-lane) ref slice — the unrolled
-    form kept every tap temporary live and blew the VMEM stack."""
+    Grid = (row_blocks, x_blocks, d_blocks) with d innermost: each
+    program handles 128 disparity lanes, so VMEM is independent of D_pad
+    (config 2/3 have up to 384 padded planes), and the output block is
+    revisited across d with a running max.  The three row blocks are
+    staged into one VMEM scratch and the 51 taps run as a fori_loop with
+    a dynamic (non-lane) ref slice — the unrolled form kept every tap
+    temporary live and blew the VMEM stack."""
     L = arm_len
+    dk = pl.program_id(2)
     scratch[0:y_block] = rc_a[:]
     scratch[y_block:2 * y_block] = rc_b[:]
     scratch[2 * y_block:3 * y_block] = rc_c[:]
-    vm, vp = vm_ref[:], vp_ref[:]
-    shape = (y_block,) + vm.shape[1:] + (D_pad,)
+    vm, vp = vm_ref[:], vp_ref[:]                     # (y_b, w_b)
+    shape = (y_block, vm.shape[1], 128)
 
     def body(t, acc):
         i = (t - L).astype(jnp.float32)
         tap = scratch[pl.ds(t + (y_block - L), y_block)].astype(jnp.float32)
         # Mask-multiply instead of where: Mosaic cannot minor-dim-expand
-        # an i1 vector, and the counts are finite so 0*tap is exact.
+        # an i1 vector (the f32 mask can), and counts are finite so
+        # 0*tap is exact.
         m = ((i >= vm) & (i <= vp)).astype(jnp.float32)
         return acc + m[..., None] * tap
 
     acc = lax.fori_loop(0, 2 * L + 1, body, jnp.zeros(shape, jnp.float32))
-    d_lane = lax.broadcasted_iota(jnp.int32, shape, 2).astype(jnp.float32)
+    d_lane = (lax.broadcasted_iota(jnp.int32, shape, 2).astype(jnp.float32)
+              + dk.astype(jnp.float32) * 128.0)
     combined = acc * D_pad + d_lane
-    out_ref[:] = jnp.max(combined, axis=2)
+    local = jnp.max(combined, axis=2)
+
+    @pl.when(dk == 0)
+    def _():
+        out_ref[:] = local
+
+    @pl.when(dk > 0)
+    def _():
+        out_ref[:] = jnp.maximum(out_ref[:], local)
 
 
 @functools.partial(jax.jit,
@@ -379,7 +395,11 @@ def _histogram_vote_impl(disp_img, arms_l, *, d_max: int, quantize: bool,
     W_pad = -(-W // 128) * 128
 
     idx = vote_indices(disp_img, d_max).astype(jnp.float32)
-    y_b1 = min(16, -(-H // 8) * 8)
+    # Output block is (y_b1, W_pad, D_pad) bf16 — cap it near 6 MB so the
+    # block plus the (W x W) clamp-count matrix stays inside scoped VMEM
+    # at chunked Middlebury-2014 widths.
+    y_b1 = max(8, min(16, 6_000_000 // (W_pad * D_pad * 2) // 8 * 8,
+                      -(-H // 8) * 8))
     n_y1 = -(-H // y_b1)
     H_pad1 = n_y1 * y_b1
     idx_p = _pad_cols(_pad_rows(idx, H_pad1, axis=0), W_pad)
@@ -408,32 +428,34 @@ def _histogram_vote_impl(disp_img, arms_l, *, d_max: int, quantize: bool,
 
     # Vertical pass: rows clamp to the border (border rc rows re-counted),
     # so the halo padding is edge-replicated real rows.  Three consecutive
-    # blocks serve the ±L reach, so y_b2 >= L suffices (not 2L).
+    # blocks serve the ±L reach, so y_b2 >= L suffices (not 2L); the
+    # disparity axis is gridded in 128-lane blocks with a running max.
     y_b2 = max(32, -(-L // 8) * 8)
     y_b2 = min(y_b2, _pick_y_block(H, L))
     n_y2 = -(-H // y_b2)
+    w_b = 128
+    n_dk = D_pad // 128
     rc_real = rc[:H]
     total = (n_y2 + 2) * y_b2
     rc_p = jnp.pad(rc_real, [(y_b2, total - H - y_b2), (0, 0), (0, 0)],
                    mode="edge")
     vm, vp = _arm_planes(arms_l, 2, 4, n_y2 * y_b2, W_pad)
-    w_b = 128
     n_x = W_pad // w_b
     kernel = functools.partial(_vote_v_kernel, arm_len=L, y_block=y_b2,
                                D_pad=D_pad)
     rc_spec = lambda k: pl.BlockSpec(
-        (y_b2, w_b, D_pad), lambda i, jx, k=k: (i + k, jx, 0),
+        (y_b2, w_b, 128), lambda i, jx, dk, k=k: (i + k, jx, dk),
         memory_space=pltpu.VMEM)
-    arm_spec = pl.BlockSpec((y_b2, w_b), lambda i, jx: (i, jx),
+    arm_spec = pl.BlockSpec((y_b2, w_b), lambda i, jx, dk: (i, jx),
                             memory_space=pltpu.VMEM)
     combined = pl.pallas_call(
         kernel,
-        grid=(n_y2, n_x),
+        grid=(n_y2, n_x, n_dk),
         in_specs=[rc_spec(0), rc_spec(1), rc_spec(2), arm_spec, arm_spec],
-        out_specs=pl.BlockSpec((y_b2, w_b), lambda i, jx: (i, jx),
+        out_specs=pl.BlockSpec((y_b2, w_b), lambda i, jx, dk: (i, jx),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_y2 * y_b2, W_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((3 * y_b2, w_b, D_pad), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((3 * y_b2, w_b, 128), jnp.bfloat16)],
         interpret=interpret,
     )(rc_p, rc_p, rc_p, vm, vp)[:H, :W]
 

@@ -45,10 +45,12 @@ def build_diag(cost):
     and reused by the initial WTA and all k refinement re-WTAs.
     """
     D = cost.shape[0]
-    sheared = jnp.stack(
+    # Stack directly on axis 1 — (H, D, K) without a post-hoc transpose
+    # (the moveaxis form materialised a second volume-sized layout copy,
+    # which at Middlebury-2014 geometry is ~2 GB of HLO temp).
+    return jnp.stack(
         [jnp.pad(cost[b], [(0, 0), (D - 1 - b, b)], mode="edge")
-         for b in range(D)], axis=0)                    # (D, H, K)
-    return jnp.moveaxis(sheared, 0, 1)                  # (H, D, K)
+         for b in range(D)], axis=1)                    # (H, D, K)
 
 
 def _diag_wta_kernel(d1_ref, sc_ref, ct_ref, diag_a, diag_b, c1_ref, c2_ref,

@@ -20,6 +20,7 @@ Influence radii (one side):
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Callable
 
 import jax
@@ -41,7 +42,15 @@ def cross_reach(cfg: StereoConfig) -> int:
 def _run_banded(run_band: Callable, crop_axes, left, right, reach: int,
                 num_bands: int):
     """Generic band loop.  run_band(left_slice, right_slice) -> pytree of
-    arrays; crop_axes: matching pytree of the row axis per leaf."""
+    arrays; crop_axes: matching pytree of the row axis per leaf.
+
+    Each band is synced before the next is dispatched: the whole point of
+    banding is bounding device memory, and async dispatch would otherwise
+    keep every band's multi-GB workspace in flight at once (measured: a
+    full Middlebury-2014 frame OOMs 16 GB HBM without this, and runs
+    comfortably with it)."""
+    import jax.numpy as jnp
+
     H = left.shape[0]
     band = math.ceil(H / num_bands)
     pieces = []
@@ -55,6 +64,9 @@ def _run_banded(run_band: Callable, crop_axes, left, right, reach: int,
             lambda leaf, ax: jax.lax.slice_in_dim(leaf, y0 - lo, y1 - lo,
                                                   axis=ax),
             out, crop_axes)
+        # Host-fetch sync (through the axon relay block_until_ready can
+        # return early; a scalar fetch cannot).
+        float(jnp.sum(jax.tree.leaves(cropped)[0].astype(jnp.float32)))
         pieces.append(cropped)
 
     def cat(*leaves_and_axis):
@@ -69,9 +81,17 @@ def asw_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int):
     full-image asw_pipeline outputs."""
     reach = asw_reach(cfg)
 
-    def run_band(l, r):
-        res = asw_mod.asw_pipeline(l, r, cfg)
+    # Select the two kept maps INSIDE the jit: asw_pipeline's full result
+    # includes the (D, H, W) aggregated cost volume, which would otherwise
+    # be materialised as a ~2 GB output buffer per band at Middlebury-2014
+    # geometry.
+    @partial(jax.jit, static_argnums=2)
+    def run_band_jit(l, r, cfg):
+        res = asw_mod.asw_pipeline_impl(l, r, cfg)
         return {"disparity": res.disparity, "filled": res.filled}
+
+    def run_band(l, r):
+        return run_band_jit(l, r, cfg)
 
     axes = {"disparity": 0, "filled": 0}
     out = _run_banded(run_band, axes, left, right, reach, num_bands)
