@@ -15,13 +15,19 @@ schedule changes:
     rotate (pltpu.roll) plus an edge-clamp select, not a gather (Mosaic
     cannot dynamically slice the lane dimension at arbitrary offsets);
   * the 33-tap vertical reach is served by passing the row-padded cost
-    volume twice with consecutive block index maps (rows i and i+1), so
-    every operand is a plain auto-pipelined BlockSpec — no manual DMA;
+    volume two (y_block >= 2R) or three (y_block >= R, when VMEM is
+    tight: radius 17 or wide lane chunks) times with consecutive block
+    index maps, so every operand is a plain auto-pipelined BlockSpec —
+    no manual DMA;
   * the 33-tap loop is unrolled in-register: VPU multiply-accumulates,
-    one divide at the end.
+    one divide at the end;
+  * images wider than _CHUNK_MAX padded lanes (Middlebury-2014 geometry)
+    run in column chunks whose left halo covers the weight rotate
+    (_lane_chunked), bit-identical to the unchunked form.
 
 The kernels are exact in f32.  For the disp-sharded path, pass the traced
-global offset via `d0` so the rotate uses d0 + d.
+global offset via `d0` (and the static `max_shift`) so the rotate uses
+d0 + d.
 """
 
 from __future__ import annotations
