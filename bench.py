@@ -59,12 +59,11 @@ def emit(metric: str, value: float, vs_baseline: float,
 
 def _sync(out) -> None:
     """On-device reduce + host fetch: through the axon relay
-    block_until_ready can return before execution finishes."""
-    import jax
-    import jax.numpy as jnp
+    block_until_ready can return before execution finishes.  (Single
+    shared implementation: utils.profiling.device_sync.)"""
+    from stereo_matchin_tpu.utils.profiling import device_sync
 
-    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
-    float(sum(jnp.sum(x.astype(jnp.float32)) for x in leaves))
+    device_sync(out)
 
 
 def measure(fn, left, right, runs: int, blocks: int = 2):
@@ -91,7 +90,9 @@ def measure(fn, left, right, runs: int, blocks: int = 2):
     t1 = min(block(n1) for _ in range(blocks))
     t2 = min(block(n2) for _ in range(blocks))
     slope = (t2 - t1) / (n2 - n1)
-    naive = t2 / n2
+    # The naive companion is literally one sync per run — what a
+    # single-run measurement sees, sync constant included.
+    naive = min(block(1) for _ in range(blocks))
     return slope, naive
 
 
@@ -105,6 +106,9 @@ def bench_pair(method: str, pair: str, cfg, runs: int, batch: int = 0):
     left_np, right_np = load_pair(pair)
     left, right = jnp.asarray(left_np), jnp.asarray(right_np)
     H, W = left_np.shape[:2]
+    if batch and method != "asw":
+        raise ValueError("--batch is only implemented for the ASW "
+                         "(video-stream) pipeline")
     if batch:
         left = jnp.broadcast_to(left, (batch,) + left.shape)
         right = jnp.broadcast_to(right, (batch,) + right.shape)
@@ -250,7 +254,17 @@ def main() -> int:
                           "value": None, "unit": "Mdisp/s",
                           "error": repr(e)[:200]}), flush=True)
 
-    rep = bench_scaling_subprocess()
+    try:
+        rep = bench_scaling_subprocess()
+    except Exception as e:  # noqa: BLE001 — bench must report what it can
+        rep = None
+        err = repr(e)[:200]
+    else:
+        err = "subprocess failed (see stderr)" if rep is None else None
+    if rep is None:
+        print(json.dumps({"metric": "weak_scaling_8dev_cpu_mesh_speedup",
+                          "value": None, "unit": "x", "error": err}),
+              flush=True)
     if rep is not None:
         # 8 VIRTUAL devices share the host's physical cores, so perfect
         # weak scaling is unreachable by construction — report the raw

@@ -277,16 +277,23 @@ def _vote_h_kernel(idx_ref, hm_ref, hp_ref, out_ref, *, arm_len: int,
     # Mosaic iota must be integer-typed; compare-heavy math runs in f32.
     c_lane = lax.broadcasted_iota(jnp.int32, (Wp, Wp), 1).astype(jnp.float32)
     x_sub = lax.broadcasted_iota(jnp.int32, (Wp, Wp), 0).astype(jnp.float32)
-    ident = (c_lane == x_sub).astype(jnp.bfloat16)
+    ident = (c_lane == x_sub).astype(jnp.float32)
     d_lane = lax.broadcasted_iota(jnp.int32, (Wp, D_pad), 1).astype(jnp.float32)
 
     def row(y, _):
         rows = jnp.concatenate(
             [idx_ref[pl.ds(y, 1), :], hm_ref[pl.ds(y, 1), :],
              hp_ref[pl.ds(y, 1), :]], axis=0)                 # (3, Wp)
-        cols = lax.dot_general(ident, rows.astype(jnp.bfloat16),
+        # The transpose dot must be exact: disparity indices above 256
+        # are not representable in bf16 (257 rounds to 256), which would
+        # corrupt the one-hot for d_max >= 257 (config-3 geometry) — and
+        # the TPU MXU truncates even f32 operands to bf16 at the DEFAULT
+        # precision, so HIGHEST (multi-pass decomposition, exact for f32)
+        # is required, not just f32 dtypes.
+        cols = lax.dot_general(ident, rows,
                                (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # (Wp, 3)
+                               preferred_element_type=jnp.float32,
+                               precision=lax.Precision.HIGHEST)  # (Wp, 3)
         idx_c, hm_c, hp_c = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
         j = c_lane - x_sub
         interior = ((j >= hm_c) & (j <= hp_c)

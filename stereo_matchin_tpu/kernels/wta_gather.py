@@ -79,8 +79,14 @@ def _diag_wta_kernel(d1_ref, sc_ref, ct_ref, diag_a, diag_b, c1_ref, c2_ref,
         j = x_loc - d1 + (D - 1)                        # local diagonal offset
         onehot = (k_sub == j).astype(jnp.float32)       # (2*wb, wb)
         diag_y = jnp.concatenate([diag_a[y], diag_b[y]], axis=1)  # (D, 2*wb)
+        # HIGHEST precision: the MXU truncates f32 operands to bf16 at
+        # the default precision, which would round every gathered COST
+        # value; the one-hot has exactly one 1 per output column, so at
+        # HIGHEST (exact f32 decomposition) g is the cost value bit-for-
+        # bit, preserving wta_fast's exactness guarantee.
         g = lax.dot_general(diag_y, onehot, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (D, wb)
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)  # (D, wb)
         i_of_b = d1 - b_sub                             # step index i
         vals0 = g + sc * jnp.abs(ct - i_of_b)
         lo = jnp.maximum(1.0, d1 - x_lane)

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import StereoConfig
+from ..utils.profiling import device_sync
 from . import asw as asw_mod
 from . import cross_based as cross_mod
 
@@ -49,8 +50,6 @@ def _run_banded(run_band: Callable, crop_axes, left, right, reach: int,
     keep every band's multi-GB workspace in flight at once (measured: a
     full Middlebury-2014 frame OOMs 16 GB HBM without this, and runs
     comfortably with it)."""
-    import jax.numpy as jnp
-
     H = left.shape[0]
     band = math.ceil(H / num_bands)
     pieces = []
@@ -66,7 +65,7 @@ def _run_banded(run_band: Callable, crop_axes, left, right, reach: int,
             out, crop_axes)
         # Host-fetch sync (through the axon relay block_until_ready can
         # return early; a scalar fetch cannot).
-        float(jnp.sum(jax.tree.leaves(cropped)[0].astype(jnp.float32)))
+        device_sync(jax.tree.leaves(cropped)[0])
         pieces.append(cropped)
 
     def cat(*leaves_and_axis):
@@ -76,22 +75,25 @@ def _run_banded(run_band: Callable, crop_axes, left, right, reach: int,
     return jax.tree.map(cat, *pieces, crop_axes)
 
 
+# Select the two kept maps INSIDE the jit: asw_pipeline's full result
+# includes the (D, H, W) aggregated cost volume, which would otherwise be
+# materialised as a ~2 GB output buffer per band at Middlebury-2014
+# geometry.  Module-level so jax.jit's cache (keyed on function identity)
+# persists across asw_pipeline_tiled calls — a per-call closure retraced
+# every band of every frame.
+@partial(jax.jit, static_argnums=2)
+def _asw_band_jit(l, r, cfg):
+    res = asw_mod.asw_pipeline_impl(l, r, cfg)
+    return {"disparity": res.disparity, "filled": res.filled}
+
+
 def asw_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int):
     """Banded ASW run; returns (disparity, filled) maps, identical to the
     full-image asw_pipeline outputs."""
     reach = asw_reach(cfg)
 
-    # Select the two kept maps INSIDE the jit: asw_pipeline's full result
-    # includes the (D, H, W) aggregated cost volume, which would otherwise
-    # be materialised as a ~2 GB output buffer per band at Middlebury-2014
-    # geometry.
-    @partial(jax.jit, static_argnums=2)
-    def run_band_jit(l, r, cfg):
-        res = asw_mod.asw_pipeline_impl(l, r, cfg)
-        return {"disparity": res.disparity, "filled": res.filled}
-
     def run_band(l, r):
-        return run_band_jit(l, r, cfg)
+        return _asw_band_jit(l, r, cfg)
 
     axes = {"disparity": 0, "filled": 0}
     out = _run_banded(run_band, axes, left, right, reach, num_bands)
