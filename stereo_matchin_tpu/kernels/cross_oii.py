@@ -91,13 +91,17 @@ def _oii_h_kernel(d0_ref, cost_ref, hm_l_ref, hp_l_ref, hm_r_ref, hp_r_ref,
     out_ref[0] = acc / (hp - hm)
 
 
-def _oii_v_kernel(d0_ref, ta_ref, tb_ref, vm_l_ref, vp_l_ref, vm_r_ref,
-                  vp_r_ref, out_ref, *, arm_len: int, H: int, y_block: int,
-                  interpret: bool):
+def _oii_v_kernel(d0_ref, row0_ref, ta_ref, tb_ref, vm_l_ref, vp_l_ref,
+                  vm_r_ref, vp_r_ref, out_ref, *, arm_len: int, H: int,
+                  y_block: int, interpret: bool):
     """One (row_block, d) program of the vertical OII windowed mean.
 
     Vertical reach ±L is served by two consecutive row blocks of the
-    L-top-padded temp volume (same trick as the ASW vertical pass)."""
+    L-top-padded temp volume (same trick as the ASW vertical pass).
+    H and row0_ref are GLOBAL: a row-sharded tile passes the global image
+    height and the global row of local row 0, so the reference's dropped-
+    row-0 prefix quirk and the bottom clamp stay anchored to the true
+    image borders (row0=0, H=local height for the unsharded case)."""
     d = d0_ref[0, 0] + pl.program_id(1)
     L = arm_len
     shape = vm_l_ref.shape
@@ -105,7 +109,7 @@ def _oii_v_kernel(d0_ref, ta_ref, tb_ref, vm_l_ref, vp_l_ref, vm_r_ref,
     vm = jnp.maximum(_shift_arm(vm_r_ref[:], d, lane, interpret), vm_l_ref[:])
     vp = jnp.minimum(_shift_arm(vp_r_ref[:], d, lane, interpret), vp_l_ref[:])
     t2 = jnp.concatenate([ta_ref[0], tb_ref[0]], axis=0)   # (2*y_b, Wp)
-    ys = (pl.program_id(0) * y_block
+    ys = (row0_ref[0, 0] + pl.program_id(0) * y_block
           + lax.broadcasted_iota(jnp.int32, shape, 0))     # global row
     acc = jnp.zeros(shape, t2.dtype)
     for i in range(-L, L + 1):
@@ -196,25 +200,33 @@ def _oii_hpass_impl(cost, arms_l, arms_r, *, arm_len: int, interpret: bool,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("arm_len", "interpret", "max_shift"))
+                   static_argnames=("arm_len", "interpret", "max_shift",
+                                    "h_glob"))
 def oii_vpass_pallas(temp, arms_l, arms_r, arm_len: int = 25,
                      interpret: bool = False, d0=0,
-                     max_shift: int | None = None):
-    """Vertical OII windowed mean over the horizontal result (D, H, W)."""
+                     max_shift: int | None = None, row0=0,
+                     h_glob: int | None = None):
+    """Vertical OII windowed mean over the horizontal result (D, H, W).
+
+    row0/h_glob anchor the row-quirk masks to GLOBAL image coordinates
+    for row-sharded tiles (defaults: unsharded)."""
     D, H, W = temp.shape
     ms = (D - 1) if max_shift is None else max_shift
     if -(-W // 128) * 128 > _CHUNK_MAX:
         return _lane_chunked(
             lambda t, al, ar: _oii_vpass_impl(t, al, ar, arm_len=arm_len,
-                                              interpret=interpret, d0=d0),
+                                              interpret=interpret, d0=d0,
+                                              row0=row0, h_glob=h_glob),
             [(temp, 2), (arms_l, 2), (arms_r, 2)], W, ms, 0)
     return _oii_vpass_impl(temp, arms_l, arms_r, arm_len=arm_len,
-                           interpret=interpret, d0=d0)
+                           interpret=interpret, d0=d0, row0=row0,
+                           h_glob=h_glob)
 
 
 def _oii_vpass_impl(temp, arms_l, arms_r, *, arm_len: int, interpret: bool,
-                    d0):
+                    d0, row0=0, h_glob: int | None = None):
     D, H, W = temp.shape
+    H_mask = H if h_glob is None else h_glob
     L = arm_len
     y_b = _pick_y_block(H, L)
     n_y = -(-H // y_b)
@@ -226,16 +238,18 @@ def _oii_vpass_impl(temp, arms_l, arms_r, *, arm_len: int, interpret: bool,
     vm_l, vp_l = _arm_planes(arms_l, 2, 4, H_pad, W_pad)
     vm_r, vp_r = _arm_planes(arms_r, 2, 4, H_pad, W_pad)
     d0_arr = jnp.asarray(d0, jnp.int32).reshape(1, 1)
-    kernel = functools.partial(_oii_v_kernel, arm_len=L, H=H, y_block=y_b,
-                               interpret=interpret)
+    row0_arr = jnp.asarray(row0, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(_oii_v_kernel, arm_len=L, H=H_mask,
+                               y_block=y_b, interpret=interpret)
     arm_spec = pl.BlockSpec((y_b, W_pad), lambda i, d: (i, 0),
                             memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((1, 1), lambda i, d: (0, 0),
+                             memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
         grid=(n_y, D),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, d: (0, 0),
-                         memory_space=pltpu.SMEM),
+            smem_spec, smem_spec,
             pl.BlockSpec((1, y_b, W_pad), lambda i, d: (d, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, y_b, W_pad), lambda i, d: (d, i + 1, 0),
@@ -246,7 +260,7 @@ def _oii_vpass_impl(temp, arms_l, arms_r, *, arm_len: int, interpret: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D, H_pad, W_pad), temp.dtype),
         interpret=interpret,
-    )(d0_arr, temp_p, temp_p, vm_l, vp_l, vm_r, vp_r)
+    )(d0_arr, row0_arr, temp_p, temp_p, vm_l, vp_l, vm_r, vp_r)
     return out[:, :H, :W]
 
 

@@ -14,14 +14,21 @@ This kernel takes the sheared volume `diag` (built once per frame,
 layout (H, D, K)) and, per image row on the MXU:
 
   * resolves the per-pixel diagonal offset with an in-VMEM one-hot
-    (K x W) matmul — nothing K-sized ever reaches HBM;
+    matmul — nothing K-sized ever reaches HBM.  The contraction runs at
+    Precision.HIGHEST: the MXU truncates f32 operands to bf16 at the
+    DEFAULT precision, which would round every gathered cost value (and
+    measurably degraded disparity fidelity in round 1/2 until caught);
   * applies the optional WTA_REF penalty 0.085*den*|ref - i| in-register;
   * runs the masked two-min with ties to the LARGEST plane (the scan
     -order semantics) and the big-cap rules, bit-identically to
     wta_fast._masked_two_min_high_tie;
   * extracts the clamped-tail base plane cost[b0, y, 0].
 
-Outputs are four (H, W) maps; everything volume-sized stays in VMEM.
+The grid is (row_blocks, x_blocks, d_blocks): lanes are blocked so the
+one-hot never exceeds VMEM at Middlebury-2014 widths, and the disparity
+planes are blocked with an exact running two-min merge across d-chunks
+(ascending, ties to the later/larger plane) so VMEM is independent of D
+— config 2/3 run ~280 planes.  Outputs are four (H, W) maps.
 """
 
 from __future__ import annotations
@@ -55,22 +62,34 @@ def build_diag(cost):
 
 def _diag_wta_kernel(d1_ref, sc_ref, ct_ref, diag_a, diag_b, c1_ref, c2_ref,
                      d_ref, base_ref, *, D: int, W: int, big: float,
-                     y_block: int, w_block: int):
-    """One (row_block, x_block) program.
+                     y_block: int, w_block: int, d_block: int, n_db: int):
+    """One (row_block, x_block, d_chunk) program.
 
-    The lane (x) dimension is blocked so W-sized one-hot operands never
-    exceed VMEM at Middlebury-2014 widths: the diagonal offsets of an
-    x-block span only w_block + D - 1 k-values starting at the block's
-    first column, so two consecutive k-blocks of `diag` (requires
-    w_block >= D - 1) cover every probe, and the LOCAL offset
-    j_local = x_local - d1 + (D-1) is x-block-independent.
+    Lane blocking: the diagonal offsets of an x-block span only
+    w_block + D - 1 k-values starting at the block's first column, so two
+    consecutive k-blocks of `diag` (requires w_block >= D - 1) cover
+    every probe, and the LOCAL offset j_local = x_local - d1 + (D-1) is
+    x-block-independent.
+
+    D blocking: chunk dk handles global planes [dk*d_block, ...); the
+    output refs carry the RUNNING (c1, c2, b_win, base) across chunks
+    (d innermost in the grid, so revisits are sequential).  Ascending
+    chunks with a `<=` take rule reproduce the ties-to-largest-b
+    semantics; the big-cap/fallback transform is applied on the last
+    chunk.  The merge is exact: the runner-up of the union of two
+    two-min summaries is min(c2_a, c2_b, loser-of-the-firsts).
     """
     wb = w_block
+    dk = pl.program_id(2)
+    is_first = (dk == 0)
+    is_last = (dk == n_db - 1)
+    b_base = (dk * d_block).astype(jnp.float32)
     x_loc = lax.broadcasted_iota(jnp.int32, (1, wb), 1).astype(jnp.float32)
     x_lane = pl.program_id(1) * wb + x_loc              # global column
     k_sub = lax.broadcasted_iota(jnp.int32, (2 * wb, wb), 0).astype(
         jnp.float32)
-    b_sub = lax.broadcasted_iota(jnp.int32, (D, wb), 0).astype(jnp.float32)
+    b_sub = (lax.broadcasted_iota(jnp.int32, (d_block, wb), 0)
+             .astype(jnp.float32) + b_base)             # global plane index
 
     def row(y, _):
         d1 = d1_ref[pl.ds(y, 1), :]                     # (1, wb)
@@ -78,38 +97,52 @@ def _diag_wta_kernel(d1_ref, sc_ref, ct_ref, diag_a, diag_b, c1_ref, c2_ref,
         ct = ct_ref[pl.ds(y, 1), :]
         j = x_loc - d1 + (D - 1)                        # local diagonal offset
         onehot = (k_sub == j).astype(jnp.float32)       # (2*wb, wb)
-        diag_y = jnp.concatenate([diag_a[y], diag_b[y]], axis=1)  # (D, 2*wb)
-        # HIGHEST precision: the MXU truncates f32 operands to bf16 at
-        # the default precision, which would round every gathered COST
-        # value; the one-hot has exactly one 1 per output column, so at
-        # HIGHEST (exact f32 decomposition) g is the cost value bit-for-
-        # bit, preserving wta_fast's exactness guarantee.
+        diag_y = jnp.concatenate([diag_a[y], diag_b[y]], axis=1)
         g = lax.dot_general(diag_y, onehot, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)  # (D, wb)
+                            precision=lax.Precision.HIGHEST)  # (d_block, wb)
         i_of_b = d1 - b_sub                             # step index i
         vals0 = g + sc * jnp.abs(ct - i_of_b)
         lo = jnp.maximum(1.0, d1 - x_lane)
-        mask = (b_sub >= lo) & (b_sub <= d1) & (vals0 < big)
+        mask = ((b_sub >= lo) & (b_sub <= d1) & (vals0 < big)
+                & (b_sub <= D - 1))                     # pad planes excluded
         inf = jnp.float32(jnp.inf)
         vals = jnp.where(mask, vals0, inf)
-        c1_raw = jnp.min(vals, axis=0, keepdims=True)   # (1, Wp)
+        c1c = jnp.min(vals, axis=0, keepdims=True)      # (1, wb)
         # Tie to the LARGEST b (reversed-argmin semantics).
-        is_min = vals == c1_raw
-        b_win = jnp.max(jnp.where(is_min, b_sub, -1.0), axis=0, keepdims=True)
-        masked = jnp.where(b_sub == b_win, inf, vals)
-        c2_raw = jnp.min(masked, axis=0, keepdims=True)
-        any_update = c1_raw < big
-        d_out = jnp.where(any_update, b_win, d1)
-        c1 = jnp.minimum(c1_raw, big)
-        c2 = jnp.where(any_update, jnp.minimum(c2_raw, big), big)
-        # Clamped-tail base plane: gathered[b0] with b0 = max(d1 - x, 0).
+        is_min = vals == c1c
+        bwc = jnp.max(jnp.where(is_min, b_sub, -1.0), axis=0, keepdims=True)
+        masked = jnp.where(b_sub == bwc, inf, vals)
+        c2c = jnp.min(masked, axis=0, keepdims=True)
+        # Clamped-tail base plane: gathered[b0] with b0 = max(d1 - x, 0)
+        # (b0 lies in exactly one chunk; contributions sum across chunks).
         b0 = jnp.maximum(d1 - x_lane, 0.0)
-        base = jnp.sum(jnp.where(b_sub == b0, g, 0.0), axis=0, keepdims=True)
-        c1_ref[pl.ds(y, 1), :] = c1
-        c2_ref[pl.ds(y, 1), :] = c2
-        d_ref[pl.ds(y, 1), :] = d_out
-        base_ref[pl.ds(y, 1), :] = base
+        basec = jnp.sum(jnp.where(b_sub == b0, g, 0.0), axis=0,
+                        keepdims=True)
+
+        c1o = c1_ref[pl.ds(y, 1), :]
+        c2o = c2_ref[pl.ds(y, 1), :]
+        bo = d_ref[pl.ds(y, 1), :]
+        baseo = base_ref[pl.ds(y, 1), :]
+        take = c1c <= c1o                               # later chunk wins ties
+        m_c1 = jnp.where(take, c1c, c1o)
+        m_b = jnp.where(take, bwc, bo)
+        loser = jnp.where(take, c1o, c1c)
+        m_c2 = jnp.minimum(jnp.minimum(c2o, c2c), loser)
+        # First chunk: no prior state (refs hold garbage) — use own values.
+        c1r = jnp.where(is_first, c1c, m_c1)
+        c2r = jnp.where(is_first, c2c, m_c2)
+        br = jnp.where(is_first, bwc, m_b)
+        baser = jnp.where(is_first, basec, baseo + basec)
+        # Last chunk: apply the big-cap + d1-fallback transform.
+        any_update = c1r < big
+        c1_ref[pl.ds(y, 1), :] = jnp.where(
+            is_last, jnp.minimum(c1r, big), c1r)
+        c2_ref[pl.ds(y, 1), :] = jnp.where(
+            is_last, jnp.where(any_update, jnp.minimum(c2r, big), big), c2r)
+        d_ref[pl.ds(y, 1), :] = jnp.where(
+            is_last, jnp.where(any_update, br, d1), br)
+        base_ref[pl.ds(y, 1), :] = baser
         return 0
 
     lax.fori_loop(0, y_block, row, 0)
@@ -128,26 +161,27 @@ def wta_diag_pallas(diag_hdk, d1, penalty_scale=None, penalty_center=None,
     H, D, K = diag_hdk.shape
     W = K - (D - 1)
     # Lane blocking: w_b >= D-1 so two consecutive k-blocks cover every
-    # probe of an x-block (see kernel docstring).  (w_b, y_b) are chosen
-    # to keep the double-buffered diag operand pair + the (2w x w)
-    # one-hot under the 16 MB scoped-VMEM limit at any D (config 2/3
-    # geometry: D up to ~280).
+    # probe of an x-block; at large D the k-span cannot shrink, so the
+    # D axis is chunked instead (d_block planes per grid step) to keep
+    # the diag operand pair within VMEM at any geometry.
     d_floor = max(128, -(-(D - 1) // 128) * 128)
     w_b = max(d_floor, min(-(-W // 128) * 128, 512))
+    n_db = -(-D // 128)
+    per_chunk = -(-D // n_db)                           # even-ish chunks
+    d_block = -(-per_chunk // 8) * 8
     y_b = min(16, max(8, -(-H // 8) * 8))
 
-    def est(wb, yb):  # bytes: 2 ops x 2 buffers x diag block + one-hot
-        return 16 * yb * D * wb + 12 * wb * wb
+    def est(yb):  # bytes: 2 diag ops x 2 buffers + the one-hot pair
+        return 16 * yb * d_block * w_b + 12 * w_b * w_b
 
-    while est(w_b, y_b) > 14_000_000 and y_b > 8:
+    while est(y_b) > 11_000_000 and y_b > 8:
         y_b -= 8
-    while est(w_b, y_b) > 14_000_000 and w_b - 128 >= d_floor:
-        w_b -= 128
     n_x = -(-W // w_b)
     W_pad = n_x * w_b
     y_b = min(y_b, -(-H // 8) * 8)
     n_y = -(-H // y_b)
     H_pad = n_y * y_b
+    D_pad = n_db * d_block
 
     dt = jnp.float32
     d1f = _pad_cols(_pad_rows(d1.astype(dt), H_pad, axis=0), W_pad)
@@ -158,19 +192,20 @@ def wta_diag_pallas(diag_hdk, d1, penalty_scale=None, penalty_center=None,
     ct = _pad_cols(_pad_rows(ct.astype(dt), H_pad, axis=0), W_pad)
     K_pad = (n_x + 1) * w_b
     diag_p = jnp.pad(diag_hdk.astype(dt),
-                     [(0, H_pad - H), (0, 0), (0, K_pad - K)])
+                     [(0, H_pad - H), (0, D_pad - D), (0, K_pad - K)])
 
     kernel = functools.partial(_diag_wta_kernel, D=D, W=W, big=big,
-                               y_block=y_b, w_block=w_b)
-    map_spec = pl.BlockSpec((y_b, w_b), lambda i, jx: (i, jx),
+                               y_block=y_b, w_block=w_b, d_block=d_block,
+                               n_db=n_db)
+    map_spec = pl.BlockSpec((y_b, w_b), lambda i, jx, dk: (i, jx),
                             memory_space=pltpu.VMEM)
     diag_spec = lambda k: pl.BlockSpec(
-        (y_b, D, w_b), lambda i, jx, k=k: (i, 0, jx + k),
+        (y_b, d_block, w_b), lambda i, jx, dk, k=k: (i, dk, jx + k),
         memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((H_pad, W_pad), dt)
     c1, c2, d, base = pl.pallas_call(
         kernel,
-        grid=(n_y, n_x),
+        grid=(n_y, n_x, n_db),
         in_specs=[map_spec, map_spec, map_spec, diag_spec(0), diag_spec(1)],
         out_specs=[map_spec, map_spec, map_spec, map_spec],
         out_shape=[out_shape, out_shape, out_shape, out_shape],

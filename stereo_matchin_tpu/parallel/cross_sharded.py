@@ -148,7 +148,7 @@ def _argmin_disp_sharded(aggr, d0, axis_name):
 
 
 def _cross_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
-                n_row: int):
+                n_row: int, platform: str = "cpu"):
     """Per-(row, disp)-shard cross pipeline for one pair."""
     L = cfg.arm_len
     H_loc, W = left.shape[0], left.shape[1]
@@ -177,24 +177,46 @@ def _cross_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
     pad_mask = pad_plane[:, None, None]
     cost_pad = jnp.where(pad_mask, cfg.big, cost_pad)
 
-    # Combined arms per local plane (right arms at max(x - d, 0)).
-    hm_pad = jnp.maximum(
-        stack_shift_x_offset(arms_r_pad[0], d0, d_local, d_pad, x_axis=1),
-        arms_l_pad[0][None])
-    hp_pad = jnp.minimum(
-        stack_shift_x_offset(arms_r_pad[1], d0, d_local, d_pad, x_axis=1),
-        arms_l_pad[1][None])
-    vm = jnp.maximum(
-        stack_shift_x_offset(arms_r[2], d0, d_local, d_pad, x_axis=1),
-        arms_l[2][None])
-    vp = jnp.minimum(
-        stack_shift_x_offset(arms_r[3], d0, d_local, d_pad, x_axis=1),
-        arms_l[3][None])
+    # Kernel choice follows the MESH's devices (see asw_sharded note on
+    # default_backend caching).
+    use_pallas = cfg.kernels == "pallas" or (
+        cfg.kernels == "auto" and platform in ("tpu", "axon"))
+    if not use_pallas:
+        # Combined arms per local plane (right arms at max(x - d, 0)) —
+        # the Pallas kernels combine these in-register instead.
+        hm_pad = jnp.maximum(
+            stack_shift_x_offset(arms_r_pad[0], d0, d_local, d_pad, x_axis=1),
+            arms_l_pad[0][None])
+        hp_pad = jnp.minimum(
+            stack_shift_x_offset(arms_r_pad[1], d0, d_local, d_pad, x_axis=1),
+            arms_l_pad[1][None])
+        vm = jnp.maximum(
+            stack_shift_x_offset(arms_r[2], d0, d_local, d_pad, x_axis=1),
+            arms_l[2][None])
+        vp = jnp.minimum(
+            stack_shift_x_offset(arms_r[3], d0, d_local, d_pad, x_axis=1),
+            arms_l[3][None])
+    if use_pallas:
+        from ..kernels.cross_oii import oii_hpass_pallas, oii_vpass_pallas
 
-    # Horizontal OII pass at every padded row, then the vertical pass with
-    # centre-row arms and global-row masking.
-    temp_pad = _oii_htaps(cost_pad, hm_pad, hp_pad, L)
-    aggr = _oii_vtaps_tiled(temp_pad, vm, vp, L, halo, row0, H_glob)
+        interp = platform not in ("tpu", "axon")
+        # Run the kernels over the padded tile and crop the centre: the
+        # kernels combine the per-d arms in-register (d0-offset rolls),
+        # and the v kernel's row-quirk masks take global coordinates, so
+        # centre rows are bit-identical to the XLA taps path.
+        temp_pp = oii_hpass_pallas(cost_pad, arms_l_pad, arms_r_pad, L,
+                                   interpret=interp, d0=d0,
+                                   max_shift=d_pad - 1)
+        aggr_pad = oii_vpass_pallas(temp_pp, arms_l_pad, arms_r_pad, L,
+                                    interpret=interp, d0=d0,
+                                    max_shift=d_pad - 1,
+                                    row0=row0 - halo, h_glob=H_glob)
+        aggr = aggr_pad[:, halo:halo + H_loc]
+    else:
+        # Horizontal OII pass at every padded row, then the vertical pass
+        # with centre-row arms and global-row masking.
+        temp_pad = _oii_htaps(cost_pad, hm_pad, hp_pad, L)
+        aggr = _oii_vtaps_tiled(temp_pad, vm, vp, L, halo, row0, H_glob)
     aggr = jnp.where(pad_mask, cfg.big, aggr)
 
     d_win = _argmin_disp_sharded(aggr, d0, AXIS_DISP)
@@ -206,20 +228,32 @@ def _cross_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
     # horizontal counts with each padded row's own h arms, then vertical
     # taps with centre v arms.
     init_pad, _ = exchange_halo(initial, halo, AXIS_ROW)
-    idx = ops.vote_indices(init_pad, cfg.d_max)
-    ds = jnp.arange(cfg.num_disp, dtype=jnp.int32)[:, None, None]
-    indicator = (idx[None] == ds).astype(jnp.int32)      # (D, H_pad, W)
-    from ..ops.vote import _clamped_window_taps
+    if use_pallas:
+        from ..kernels.cross_oii import histogram_vote_pallas
 
-    row_counts = _clamped_window_taps(indicator, arms_l_pad[0][None],
-                                      arms_l_pad[1][None], L, axis=2)
-    tab = _vote_coltaps_tiled(row_counts, arms_l[2][None], arms_l[3][None],
-                              L, halo)
-    mode = (cfg.num_disp - 1) - jnp.argmax(tab[::-1], axis=0).astype(
-        jnp.int32)
-    voted = mode.astype(jnp.float32) / cfg.d_max
-    if cfg.quantize_maps:
-        voted = ops.unorm8(voted)
+        # Whole-vote over the padded tile, centre-cropped: every tap of a
+        # centre row lands within the exchanged halo (reach L < halo), so
+        # the kernel's own tile-edge replication never influences kept
+        # rows; counts are integer-exact, so modes match the taps path.
+        voted_pad = histogram_vote_pallas(init_pad, arms_l_pad, cfg.d_max,
+                                          quantize=cfg.quantize_maps,
+                                          arm_len=L, interpret=interp)
+        voted = voted_pad[halo:halo + H_loc]
+    else:
+        idx = ops.vote_indices(init_pad, cfg.d_max)
+        ds = jnp.arange(cfg.num_disp, dtype=jnp.int32)[:, None, None]
+        indicator = (idx[None] == ds).astype(jnp.int32)  # (D, H_pad, W)
+        from ..ops.vote import _clamped_window_taps
+
+        row_counts = _clamped_window_taps(indicator, arms_l_pad[0][None],
+                                          arms_l_pad[1][None], L, axis=2)
+        tab = _vote_coltaps_tiled(row_counts, arms_l[2][None],
+                                  arms_l[3][None], L, halo)
+        mode = (cfg.num_disp - 1) - jnp.argmax(tab[::-1], axis=0).astype(
+            jnp.int32)
+        voted = mode.astype(jnp.float32) / cfg.d_max
+        if cfg.quantize_maps:
+            voted = ops.unorm8(voted)
 
     voted_pad, _ = exchange_halo(voted, 1, AXIS_ROW)
     from .ops_tiled import median3x3_tiled
@@ -238,9 +272,11 @@ def make_cross_sharded(cfg: StereoConfig, mesh: Mesh):
     d_pad = math.ceil(cfg.num_disp / n_disp) * n_disp
     d_local = d_pad // n_disp
 
+    platform = getattr(mesh.devices.flat[0], "platform", "cpu")
+
     def local_fn(left, right):
         tile = partial(_cross_tile, cfg=cfg, d_local=d_local, d_pad=d_pad,
-                       n_row=n_row)
+                       n_row=n_row, platform=platform)
         return jax.vmap(tile)(left, right)
 
     img_spec = P(AXIS_BATCH, AXIS_ROW, None, None)

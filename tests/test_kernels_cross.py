@@ -102,3 +102,24 @@ def test_cross_kernels_wide_image_chunked(rng):
     np.testing.assert_array_equal(
         np.round(np.asarray(got_v) * d_max).astype(np.int32),
         np.round(np.asarray(want_v) * d_max).astype(np.int32))
+
+
+def test_vote_large_disparity_indices(rng):
+    """Regression for d_max >= 257: disparity indices above 256 are not
+    representable in bf16, and the TPU MXU truncates f32 dot operands to
+    bf16 at the DEFAULT precision — the vote's transpose dot must run at
+    Precision.HIGHEST or bins 257+ silently lose votes.  (Interpret mode
+    exercises the shared math; the compiled-kernel case was verified on
+    hardware at d_max=300 — see PARITY.md.)"""
+    H, W, dm, L = 24, 40, 300, 3
+    left = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
+    arms = ops.cross_arms(left, arm_len=L, tau=0.35)
+    d = rng.integers(250, dm + 1, size=(H, W))   # all indices near/above 256
+    disp_img = jnp.asarray(ops.unorm8(d.astype(np.float32) / dm))
+    want = ops.histogram_vote(disp_img, arms, dm, quantize=False,
+                              arm_len=L, impl="taps")
+    got = histogram_vote_pallas(disp_img, arms, dm, quantize=False,
+                                arm_len=L, interpret=True)
+    np.testing.assert_array_equal(
+        np.round(np.asarray(got) * dm).astype(np.int32),
+        np.round(np.asarray(want) * dm).astype(np.int32))

@@ -71,6 +71,29 @@ def test_wta_diag_pallas_matches_xla(rng, H, W, D, with_penalty):
                                   np.asarray(want[3], dtype=np.float32))
 
 
+def test_wta_diag_pallas_many_planes_chunked(rng):
+    """D > 128 exercises the d-chunked grid with the running two-min
+    merge across chunks (config 2/3 geometry, ~280 planes) — the merge
+    must reproduce the single-pass ties-to-largest-b and big-cap
+    semantics exactly."""
+    D, H, W = 300, 16, 40
+    cost = jnp.asarray(rng.random((D, H, W), dtype=np.float32) * 50.0)
+    cost = cost.at[:, :2, :3].set(2e5)
+    d1 = jnp.asarray(rng.integers(0, D, size=(H, W)), jnp.int32)
+    scale = jnp.asarray(rng.random((H, W), dtype=np.float32))
+    center = jnp.asarray(rng.integers(0, D, (H, W)).astype(np.float32))
+    want = _reference(cost, d1, scale, center)
+    diag = build_diag(cost)
+    got = wta_diag_pallas(diag, d1.astype(jnp.float32), scale, center,
+                          big=BIG, interpret=True)
+    for name, w, g in zip(("c1", "c2"), want[:2], got[:2]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=3e-7, atol=0, err_msg=name)
+    assert (np.asarray(got[2]) == np.asarray(want[2])).mean() > 0.995
+    np.testing.assert_array_equal(np.asarray(got[3]),
+                                  np.asarray(want[3], dtype=np.float32))
+
+
 def test_wta_fast_accepts_hoisted_diag(rng):
     """Passing a precomputed diag must not change wta_fast's outputs (on
     CPU the diag path is unused but the argument must be accepted)."""

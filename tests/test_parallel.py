@@ -163,3 +163,27 @@ def test_sharded_cross_matches_single_device(pair, mesh_cfg):
     np.testing.assert_array_equal(got.initial, np.asarray(ref.initial))
     np.testing.assert_array_equal(got.final, np.asarray(ref.final))
     np.testing.assert_array_equal(got.median_left, np.asarray(ref.median_left))
+
+
+@pytest.mark.parametrize(
+    "mesh_cfg",
+    [MeshConfig(batch=1, row=2, disp=2), MeshConfig(batch=1, row=4, disp=1)],
+    ids=lambda m: f"cross-pallas-b{m.batch}r{m.row}d{m.disp}",
+)
+def test_sharded_cross_pallas_kernels(pair, mesh_cfg):
+    """Sharded cross tile with the Pallas OII + vote kernels (interpret on
+    the CPU mesh) must match the single-device Pallas path bit-exactly —
+    the tile runs the kernels over the halo-padded rows with the quirk
+    masks re-anchored to global coordinates (row0/h_glob) and crops."""
+    from stereo_matchin_tpu.models import cross_based
+    from stereo_matchin_tpu.parallel.cross_sharded import make_cross_sharded
+
+    left, right = pair
+    cfg = CFG.replace(oii_impl="pallas")
+    ref = jax.vmap(lambda l, r: cross_based.cross_pipeline_fused(l, r, cfg))(
+        left, right)
+    mesh = build_mesh(mesh_cfg)
+    f = make_cross_sharded(cfg.replace(kernels="pallas"), mesh)
+    got = jax.tree.map(np.asarray, f(left, right))
+    np.testing.assert_array_equal(got.initial, np.asarray(ref.initial))
+    np.testing.assert_array_equal(got.final, np.asarray(ref.final))
