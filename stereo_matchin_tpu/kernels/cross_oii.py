@@ -22,15 +22,21 @@ sums; integer-identical vote counts).  What changes is the schedule:
     from a `pltpu.roll` lane rotate instead of materialising four
     (D, H, W) arm volumes in HBM;
   * the vote's horizontal pass is a one-hot matmul on the MXU: per image
-    row, a banded clamp-count matrix A[x, c] (how many taps of pixel x's
-    arm span land on column c under CLAMP_TO_EDGE) contracts with the
-    one-hot disparity indicator B[c, d] to produce all 61 histogram rows
-    at once — replacing a 61×51 masked-shift loop per pixel with one
-    (W×W)@(W×D) bf16 systolic pass (counts ≤ 51, exact in bf16);
-  * the vote's vertical pass keeps disparity in the 128-lane dimension,
-    accumulates the 51 masked row taps in f32, and reduces mode+argmax
-    in-kernel via a combined `count*D_pad + d` max (ties to the highest
-    disparity, matching disparity.cl:39-42).
+    row, the one-hot disparity indicator B[d, c] contracts with a banded
+    clamp-count matrix A[c, x] (how many taps of pixel x's arm span land
+    on column c under CLAMP_TO_EDGE) to produce all histogram rows at
+    once — replacing a 61×51 masked-shift loop per pixel with one
+    (D×W)@(W×W) bf16 systolic pass (counts ≤ 51, exact in bf16);
+  * the vote's row-count volume is laid out (H, d, x) with DISPARITY in
+    the sublane dimension and pixels in lanes: d_max=60 pads to 64
+    sublanes instead of 128 lanes, halving the vertical pass's VPU work
+    and HBM traffic, and letting the h-pass emit the layout directly
+    (pixel row vectors broadcast over sublanes, so no transpose dot);
+  * the vote's vertical pass accumulates the 51 masked row taps in f32
+    and reduces mode+argmax in-kernel via a combined `count*D_pad + d`
+    max over sublanes (ties to the highest disparity, matching
+    disparity.cl:39-42); large plane counts grid d in sublane chunks
+    with a running max across revisits.
 """
 
 from __future__ import annotations
@@ -279,46 +285,41 @@ def cross_aggregate_pallas(cost, arms_l, arms_r, arm_len: int = 25,
 
 def _vote_h_kernel(idx_ref, hm_ref, hp_ref, out_ref, *, arm_len: int,
                    W: int, D_pad: int, y_block: int):
-    """Per-row one-hot MXU pass: rc[y, x, d] = #{j in [hm, hp] :
+    """Per-row one-hot MXU pass: rc[y, d, x] = #{j in [hm, hp] :
     idx[y, clamp(x + j)] == d} for one row block.
 
-    A[x, c] counts how many taps of pixel x's span land on column c
-    under CLAMP_TO_EDGE (border columns absorb the out-of-range taps —
-    weights up to L+1, exact in bf16); B[c, d] is the one-hot disparity
-    indicator.  rc = A @ B on the MXU.
+    Layout: disparity in SUBLANES, pixels in lanes.  A[c, x] counts how
+    many taps of pixel x's span land on column c under CLAMP_TO_EDGE
+    (border columns absorb the out-of-range taps — weights up to L+1,
+    exact in bf16); B[d, c] is the one-hot disparity indicator.
+    rc = B @ A on the MXU (both operands bf16-exact small ints; f32 MXU
+    accumulation — counts up to 51 are exact).  With pixels in lanes the
+    per-row (1, Wp) map vectors broadcast over sublanes directly, so the
+    round-1 HIGHEST-precision transpose dot is gone entirely.
     """
     Wp = idx_ref.shape[1]
     # Mosaic iota must be integer-typed; compare-heavy math runs in f32.
-    c_lane = lax.broadcasted_iota(jnp.int32, (Wp, Wp), 1).astype(jnp.float32)
-    x_sub = lax.broadcasted_iota(jnp.int32, (Wp, Wp), 0).astype(jnp.float32)
-    ident = (c_lane == x_sub).astype(jnp.float32)
-    d_lane = lax.broadcasted_iota(jnp.int32, (Wp, D_pad), 1).astype(jnp.float32)
+    c_sub = lax.broadcasted_iota(jnp.int32, (Wp, Wp), 0).astype(jnp.float32)
+    x_lane = lax.broadcasted_iota(jnp.int32, (Wp, Wp), 1).astype(jnp.float32)
+    d_sub = lax.broadcasted_iota(jnp.int32, (D_pad, Wp), 0).astype(jnp.float32)
 
     def row(y, _):
-        rows = jnp.concatenate(
-            [idx_ref[pl.ds(y, 1), :], hm_ref[pl.ds(y, 1), :],
-             hp_ref[pl.ds(y, 1), :]], axis=0)                 # (3, Wp)
-        # The transpose dot must be exact: disparity indices above 256
-        # are not representable in bf16 (257 rounds to 256), which would
-        # corrupt the one-hot for d_max >= 257 (config-3 geometry) — and
-        # the TPU MXU truncates even f32 operands to bf16 at the DEFAULT
-        # precision, so HIGHEST (multi-pass decomposition, exact for f32)
-        # is required, not just f32 dtypes.
-        cols = lax.dot_general(ident, rows,
-                               (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=lax.Precision.HIGHEST)  # (Wp, 3)
-        idx_c, hm_c, hp_c = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
-        j = c_lane - x_sub
-        interior = ((j >= hm_c) & (j <= hp_c)
-                    & (c_lane >= 1) & (c_lane <= W - 2))
-        w0 = jnp.maximum(0.0, jnp.minimum(hp_c, -x_sub) - hm_c + 1.0)
-        wl = jnp.maximum(0.0, hp_c - jnp.maximum(hm_c, (W - 1) - x_sub) + 1.0)
-        A = jnp.where(c_lane == 0, w0,
-                      jnp.where(c_lane == W - 1, wl,
+        idx_r = idx_ref[pl.ds(y, 1), :]                       # (1, Wp)
+        hm_r = hm_ref[pl.ds(y, 1), :]
+        hp_r = hp_ref[pl.ds(y, 1), :]
+        j = c_sub - x_lane
+        interior = ((j >= hm_r) & (j <= hp_r)
+                    & (c_sub >= 1) & (c_sub <= W - 2))
+        w0 = jnp.maximum(0.0, jnp.minimum(hp_r, -x_lane) - hm_r + 1.0)
+        wl = jnp.maximum(0.0, hp_r - jnp.maximum(hm_r, (W - 1) - x_lane) + 1.0)
+        A = jnp.where(c_sub == 0, w0,
+                      jnp.where(c_sub == W - 1, wl,
                                 interior.astype(jnp.float32)))
-        B = (idx_c == d_lane).astype(jnp.bfloat16)            # (Wp, D_pad)
-        rc = lax.dot_general(A.astype(jnp.bfloat16), B,
+        # One-hot: disparity indices are compared in f32 (indices above
+        # 256 are not bf16-representable; the COMPARISON must see exact
+        # values — the resulting 0/1 operand is then bf16-safe).
+        B = (d_sub == idx_r).astype(jnp.bfloat16)             # (D_pad, Wp)
+        rc = lax.dot_general(B, A.astype(jnp.bfloat16),
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
         out_ref[pl.ds(y, 1)] = rc[None].astype(jnp.bfloat16)
@@ -328,26 +329,30 @@ def _vote_h_kernel(idx_ref, hm_ref, hp_ref, out_ref, *, arm_len: int,
 
 
 def _vote_v_kernel(rc_a, rc_b, rc_c, vm_ref, vp_ref, out_ref, scratch, *,
-                   arm_len: int, y_block: int, D_pad: int):
-    """Vertical vote pass + mode for ONE 128-lane disparity block:
-    tab[y, x, d] = sum over clamped rows y+i (i in [vm, vp]) of rc;
-    out = max over the grid's d blocks of (tab * D_pad + d) so ties go to
+                   arm_len: int, y_block: int, d_block: int, D_pad: int):
+    """Vertical vote pass + mode for ONE sublane disparity chunk:
+    tab[y, d, x] = sum over clamped rows y+i (i in [vm, vp]) of rc;
+    out = max over the grid's d chunks of (tab * D_pad + d) so ties go to
     the highest disparity (disparity.cl:39-42).
 
-    Grid = (row_blocks, x_blocks, d_blocks) with d innermost: each
-    program handles 128 disparity lanes, so VMEM is independent of D_pad
-    (config 2/3 have up to 384 padded planes), and the output block is
-    revisited across d with a running max.  The three row blocks are
-    staged into one VMEM scratch and the 51 taps run as a fori_loop with
-    a dynamic (non-lane) ref slice — the unrolled form kept every tap
-    temporary live and blew the VMEM stack."""
+    Disparity lives in SUBLANES (d_block of them) and pixels in lanes:
+    the tap work is proportional to the 8-granular sublane pad (64 for
+    d_max=60) instead of a 128-granular lane pad — half the VPU work and
+    HBM traffic of the lane layout at the reference disparity count.
+    Grid = (row_blocks, x_blocks, d_chunks) with d innermost; the output
+    block is revisited across d with a running max, so VMEM stays
+    independent of the total plane count (config 2/3: ~280 planes).  The
+    three row blocks are staged into one VMEM scratch and the 51 taps
+    run as a fori_loop with a dynamic (non-lane) ref slice — the
+    unrolled form kept every tap temporary live and blew the VMEM
+    stack."""
     L = arm_len
     dk = pl.program_id(2)
     scratch[0:y_block] = rc_a[:]
     scratch[y_block:2 * y_block] = rc_b[:]
     scratch[2 * y_block:3 * y_block] = rc_c[:]
     vm, vp = vm_ref[:], vp_ref[:]                     # (y_b, w_b)
-    shape = (y_block, vm.shape[1], 128)
+    shape = (y_block, d_block, vm.shape[1])
 
     def body(t, acc):
         i = (t - L).astype(jnp.float32)
@@ -356,13 +361,13 @@ def _vote_v_kernel(rc_a, rc_b, rc_c, vm_ref, vp_ref, out_ref, scratch, *,
         # an i1 vector (the f32 mask can), and counts are finite so
         # 0*tap is exact.
         m = ((i >= vm) & (i <= vp)).astype(jnp.float32)
-        return acc + m[..., None] * tap
+        return acc + m[:, None, :] * tap
 
     acc = lax.fori_loop(0, 2 * L + 1, body, jnp.zeros(shape, jnp.float32))
-    d_lane = (lax.broadcasted_iota(jnp.int32, shape, 2).astype(jnp.float32)
-              + dk.astype(jnp.float32) * 128.0)
-    combined = acc * D_pad + d_lane
-    local = jnp.max(combined, axis=2)
+    d_sub = (lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+             + dk.astype(jnp.float32) * d_block)
+    combined = acc * D_pad + d_sub
+    local = jnp.max(combined, axis=1)
 
     @pl.when(dk == 0)
     def _():
@@ -412,11 +417,21 @@ def _histogram_vote_impl(disp_img, arms_l, *, d_max: int, quantize: bool,
 
     H, W = disp_img.shape
     L = arm_len
-    D_pad = max(128, -(-(d_max + 1) // 128) * 128)
+    # Disparity pads to 16-granular SUBLANES (bf16 sublane tile), chunked
+    # so a chunk's v-pass VMEM footprint fits: ~26 bytes per (row, d, x)
+    # element (3-block staged scratch + double-buffered operand blocks +
+    # the f32 acc/tap temporaries) caps the chunk at 112 sublanes for
+    # y_b=32, w_b=128 (config 2/3: 288 sublanes -> three 96-sublane
+    # chunks; d_max=60 -> one 64-sublane chunk, vs the 128-lane floor of
+    # a lane layout).
+    d16 = -(-(d_max + 1) // 16) * 16
+    n_dk = -(-d16 // 112)
+    d_block = -(-d16 // n_dk // 16) * 16
+    D_pad = n_dk * d_block
     W_pad = -(-W // 128) * 128
 
     idx = vote_indices(disp_img, d_max).astype(jnp.float32)
-    # Output block is (y_b1, W_pad, D_pad) bf16 — cap it near 6 MB so the
+    # Output block is (y_b1, D_pad, W_pad) bf16 — cap it near 6 MB so the
     # block plus the (W x W) clamp-count matrix stays inside scoped VMEM
     # at chunked Middlebury-2014 widths.
     y_b1 = max(8, min(16, 6_000_000 // (W_pad * D_pad * 2) // 8 * 8,
@@ -441,21 +456,20 @@ def _histogram_vote_impl(disp_img, arms_l, *, d_max: int, quantize: bool,
                 pl.BlockSpec((y_b1, W_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((y_b1, W_pad, D_pad), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((y_b1, D_pad, W_pad), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((H_pad1, W_pad, D_pad),
+            out_shape=jax.ShapeDtypeStruct((H_pad1, D_pad, W_pad),
                                            jnp.bfloat16),
         )(idx_p, hm, hp)
 
     # Vertical pass: rows clamp to the border (border rc rows re-counted),
     # so the halo padding is edge-replicated real rows.  Three consecutive
     # blocks serve the ±L reach, so y_b2 >= L suffices (not 2L); the
-    # disparity axis is gridded in 128-lane blocks with a running max.
+    # disparity axis is gridded in sublane chunks with a running max.
     y_b2 = max(32, -(-L // 8) * 8)
     y_b2 = min(y_b2, _pick_y_block(H, L))
     n_y2 = -(-H // y_b2)
     w_b = 128
-    n_dk = D_pad // 128
     rc_real = rc[:H]
     total = (n_y2 + 2) * y_b2
     rc_p = jnp.pad(rc_real, [(y_b2, total - H - y_b2), (0, 0), (0, 0)],
@@ -463,9 +477,9 @@ def _histogram_vote_impl(disp_img, arms_l, *, d_max: int, quantize: bool,
     vm, vp = _arm_planes(arms_l, 2, 4, n_y2 * y_b2, W_pad)
     n_x = W_pad // w_b
     kernel = functools.partial(_vote_v_kernel, arm_len=L, y_block=y_b2,
-                               D_pad=D_pad)
+                               d_block=d_block, D_pad=D_pad)
     rc_spec = lambda k: pl.BlockSpec(
-        (y_b2, w_b, 128), lambda i, jx, dk, k=k: (i + k, jx, dk),
+        (y_b2, d_block, w_b), lambda i, jx, dk, k=k: (i + k, dk, jx),
         memory_space=pltpu.VMEM)
     arm_spec = pl.BlockSpec((y_b2, w_b), lambda i, jx, dk: (i, jx),
                             memory_space=pltpu.VMEM)
@@ -476,7 +490,7 @@ def _histogram_vote_impl(disp_img, arms_l, *, d_max: int, quantize: bool,
         out_specs=pl.BlockSpec((y_b2, w_b), lambda i, jx, dk: (i, jx),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_y2 * y_b2, W_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((3 * y_b2, w_b, 128), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((3 * y_b2, d_block, w_b), jnp.bfloat16)],
         interpret=interpret,
     )(rc_p, rc_p, rc_p, vm, vp)[:H, :W]
 
@@ -503,5 +517,5 @@ def _vote_h_interpret(idx_p, hm, hp, L, W, D_pad):
                   jnp.where(c[None] == W - 1, wl,
                             interior.astype(jnp.float32)))    # (Hp, Wx, Wc)
     B = (idx_p[:, :, None] == jnp.arange(D_pad, dtype=jnp.float32))
-    return jnp.einsum("yxc,ycd->yxd", A,
+    return jnp.einsum("yxc,ycd->ydx", A,
                       B.astype(jnp.float32)).astype(jnp.bfloat16)
