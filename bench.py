@@ -134,19 +134,26 @@ def bench_config3_band(runs: int = 2):
     from stereo_matchin_tpu.models import asw as asw_mod
     from stereo_matchin_tpu.models.tiled import asw_reach
 
-    cfg = REFERENCE_CONFIG.replace(d_max=279)
+    cfg = REFERENCE_CONFIG.replace(d_max=279, aggr_d_chunks=4)
     W, H = 2880, 1988
     reach = asw_reach(cfg)
-    band_rows = 192                     # kept rows per band (HBM-bound:
-    rows = band_rows + 2 * reach        # larger bands amortise the halo
-    #                                     but ~5 volume-sized buffers at
-    #                                     (280, rows, 2944) must fit HBM)
+    band_rows = 512                     # kept rows per band (HBM-bound:
+    rows = band_rows + 2 * reach        # larger bands amortise the 450
+    #                                     halo rows; disparity-chunked
+    #                                     aggregation + the post-
+    #                                     aggregation crop bound the live
+    #                                     (280, rows, 2944) volumes.
+    #                                     Measured: 192 rows unchunked
+    #                                     44 Mdisp/s; 512/4ch 70.1; 768
+    #                                     rows is chunk-overhead-bound)
+    crop = reach - (cfg.k_iters * cfg.radius + 1)   # shed mid-pipeline
     rng = np.random.default_rng(0)
     base = rng.random((rows, W, 3), dtype=np.float32)
     left = jnp.asarray(base)
     right = jnp.asarray(np.roll(base, 17, axis=1))
 
-    fn = lambda l, r: asw_mod.asw_pipeline(l, r, cfg).disparity  # noqa: E731
+    fn = lambda l, r: asw_mod.asw_pipeline(                      # noqa: E731
+        l, r, cfg, (crop, crop)).disparity
     best, _ = measure(fn, left, right, runs=1, blocks=runs)
     # Credit only the kept rows: halo rows are recomputed by neighbours.
     return band_rows * W * cfg.num_disp / best / 1e6

@@ -68,6 +68,15 @@ class StereoConfig:
     # invariant (required for band tiling to be bit-exact); "auto" picks
     # taps on TPU, prefix elsewhere.
     oii_impl: str = "auto"
+    # ASW aggregation in this many disparity chunks (Pallas path only;
+    # 0 = whole volume at once).  Disparity planes are independent, so a
+    # lax.scan over chunks bounds the aggregation phase's live memory to
+    # ~5 chunk-sized buffers plus the output volume — the knob that lets
+    # Middlebury-2014 bands grow past the whole-volume scheme's HBM
+    # ceiling (models/tiled.py).  Chunks are ceil(num_disp / n); a
+    # non-dividing plane count runs a smaller remainder chunk.  Values
+    # identical to the unchunked path.
+    aggr_d_chunks: int = 0
 
     def __post_init__(self):
         if self.d_max < 1:
@@ -76,6 +85,10 @@ class StereoConfig:
             raise ValueError(f"radius must be >= 1, got {self.radius}")
         if self.arm_len < 2:
             raise ValueError(f"arm_len must be >= 2, got {self.arm_len}")
+        if self.aggr_d_chunks < 0 or self.aggr_d_chunks > self.d_max + 1:
+            raise ValueError(
+                f"aggr_d_chunks ({self.aggr_d_chunks}) must be in "
+                f"[0, num_disp={self.d_max + 1}]")
 
     @property
     def num_disp(self) -> int:

@@ -27,6 +27,8 @@ from functools import partial
 from typing import NamedTuple
 
 import jax
+import jax.numpy as jnp
+from jax import lax
 
 from .. import ops
 from ..config import StereoConfig
@@ -39,6 +41,69 @@ def _use_pallas(cfg: StereoConfig) -> bool:
         return False
     # "auto": Pallas only on TPU backends (the axon plugin reports "axon").
     return jax.default_backend() in ("tpu", "axon")
+
+
+def _aggregate_d_chunked(left, right, wv_l, wv_r, wh_l, wh_r,
+                         cfg: StereoConfig, crop: tuple,
+                         interpret: bool = False):
+    """SAD cost + r aggregation passes, lax.scan'd over disparity chunks.
+
+    Disparity planes are independent through the whole aggregation (the
+    support weights are d-independent; only the right-view weight/pixel
+    shift depends on d), so the (D, H, W) volumes of the unchunked scheme
+    never need to coexist: each scan step builds its chunk's SAD cost
+    directly from the images (cost.py semantics, traced plane offset),
+    runs the full r-loop on (chunk, H, W) buffers, sheds the post-
+    aggregation crop rows, and writes into the one full-size accumulator
+    (aliased in place across the scan).  Live memory ~5 chunk-sized
+    buffers + the cropped output, vs ~4 full volumes — the knob that lets
+    Middlebury-2014 row bands grow past the whole-volume HBM ceiling.
+    Values are identical to the unchunked Pallas path: same kernels, same
+    tap order, same cost association ((c0+c1)+c2, clamp-to-edge reads).
+    """
+    from ..kernels.asw_aggregation import (asw_den_pallas, asw_hpass_pallas,
+                                           asw_vpass_pallas)
+
+    R, D = cfg.radius, cfg.num_disp
+    H, W = left.shape[:2]
+    c_top, c_bot = crop
+    n_chunks = cfg.aggr_d_chunks
+    chunk = D // n_chunks
+    ms = D - 1                         # static max shift (lane-chunk halos)
+
+    l3 = jnp.moveaxis(left, -1, 0) * 255.0           # (3, H, W)
+    ext = jnp.pad(jnp.moveaxis(right, -1, 0) * 255.0,
+                  [(0, 0), (0, 0), (D - 1, 0)], mode="edge")
+
+    def cost_chunk(d0):
+        planes = []
+        for dd in range(chunk):
+            sl = lax.dynamic_slice_in_dim(ext, D - 1 - (d0 + dd), W, axis=2)
+            t = jnp.abs(l3 - sl)
+            planes.append((t[0] + t[1]) + t[2])      # ref channel order
+        return jnp.stack(planes)                     # (chunk, H, W)
+
+    def body(acc, d0):
+        den_v = asw_den_pallas(wv_l, wv_r, R, cfg.eps, interpret, d0=d0,
+                               num_disp=chunk, max_shift=ms)
+        den_h = asw_den_pallas(wh_l, wh_r, R, cfg.eps, interpret, d0=d0,
+                               num_disp=chunk, max_shift=ms)
+
+        def rbody(c, _):
+            cv = asw_vpass_pallas(c, wv_l, wv_r, R, cfg.eps, interpret,
+                                  d0=d0, den=den_v, max_shift=ms)
+            ch = asw_hpass_pallas(cv, wh_l, wh_r, R, cfg.eps, interpret,
+                                  d0=d0, den=den_h, max_shift=ms)
+            return ch, None
+
+        cagg, _ = lax.scan(rbody, cost_chunk(d0), None, length=cfg.r_iters)
+        cagg = lax.slice_in_dim(cagg, c_top, H - c_bot, axis=1)
+        return lax.dynamic_update_slice(acc, cagg, (d0, 0, 0)), None
+
+    acc0 = jnp.zeros((D, H - c_top - c_bot, W), jnp.float32)
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    acc, _ = lax.scan(body, acc0, offsets)
+    return acc
 
 
 class ASWResult(NamedTuple):
@@ -58,29 +123,69 @@ def _to_image(d, cfg: StereoConfig):
 
 
 def asw_pipeline_impl(left: jax.Array, right: jax.Array,
-                      cfg: StereoConfig) -> ASWResult:
+                      cfg: StereoConfig,
+                      crop: tuple = (0, 0)) -> ASWResult:
     """left/right: (H, W, 3) float32 in [0,1] on the UNORM8 grid (raw pair —
-    the ASW method never median-filters its inputs, main.cpp:463-484)."""
-    R, D = cfg.radius, cfg.num_disp
+    the ASW method never median-filters its inputs, main.cpp:463-484).
 
-    cost0 = ops.sad_cost_volume(left, right, D, scale=255.0)
+    crop=(top, bottom): drop that many rows right AFTER aggregation, for
+    the band-tiled driver (models/tiled.py).  Aggregation consumes
+    (r_iters + 1) * radius rows of band-halo validity; everything after it
+    (WTA + k refinement passes + median) reaches only k*radius + 1 rows,
+    so an interior band can shed reach - (k*radius + 1) halo rows per side
+    once the aggregated volume exists — shrinking the two largest live
+    buffers (aggregated volume + its diagonal shear) and all
+    post-aggregation compute by the same fraction.  Rows within
+    k*radius + 1 of a cropped edge see clamped refinement reads and may
+    diverge from the full-image run; callers must crop those margin rows
+    from the result (exactly the band driver's own influence-radius
+    argument, applied mid-pipeline).  The refinement support weights are
+    computed from the PRE-crop images: computed post-crop they would be
+    wrong within radius of the cut, widening the contaminated margin past
+    k*radius + 1 into the kept rows."""
+    R, D = cfg.radius, cfg.num_disp
+    c_top, c_bot = crop
+
     wv_l = ops.support_weights(left, R, cfg.gamma_c, cfg.gamma_p, axis=0)
     wh_l = ops.support_weights(left, R, cfg.gamma_c, cfg.gamma_p, axis=1)
     wv_r = ops.support_weights(right, R, cfg.gamma_c, cfg.gamma_p, axis=0)
     wh_r = ops.support_weights(right, R, cfg.gamma_c, cfg.gamma_p, axis=1)
 
-    if _use_pallas(cfg):
-        from ..kernels.asw_aggregation import asw_aggregate_pallas
-
-        aggr = asw_aggregate_pallas(cost0, wv_l, wv_r, wh_l, wh_r, R,
-                                    cfg.r_iters, cfg.eps)
+    use_pallas = _use_pallas(cfg)
+    if use_pallas and cfg.aggr_d_chunks:
+        # Builds its own per-chunk cost planes and sheds the crop rows
+        # inside the chunk scan — no full-size pre-crop volume ever lives.
+        aggr = _aggregate_d_chunked(left, right, wv_l, wv_r, wh_l, wh_r,
+                                    cfg, crop)
     else:
-        aggr = ops.asw_aggregate(cost0, wv_l, wv_r, wh_l, wh_r, R,
-                                 cfg.r_iters, cfg.eps)
+        cost0 = ops.sad_cost_volume(left, right, D, scale=255.0)
+        if use_pallas:
+            from ..kernels.asw_aggregation import asw_aggregate_pallas
+
+            aggr = asw_aggregate_pallas(cost0, wv_l, wv_r, wh_l, wh_r, R,
+                                        cfg.r_iters, cfg.eps)
+        else:
+            aggr = ops.asw_aggregate(cost0, wv_l, wv_r, wh_l, wh_r, R,
+                                     cfg.r_iters, cfg.eps)
+        if c_top or c_bot:
+            aggr = jax.lax.slice_in_dim(aggr, c_top, aggr.shape[1] - c_bot,
+                                        axis=1)
+
+    # Refinement support weights from the RAW images, refinement gammas —
+    # computed before any crop (see docstring), cropped alongside it.
+    rv_l, rh_l = ops.refinement_weights(left, R, cfg.ref_gamma_c, cfg.ref_gamma_p)
+    rv_r, rh_r = ops.refinement_weights(right, R, cfg.ref_gamma_c, cfg.ref_gamma_p)
+
+    if c_top or c_bot:
+        hi = left.shape[0] - c_bot
+        rv_l, rh_l, rv_r, rh_r = (
+            jax.lax.slice_in_dim(w, c_top, hi, axis=1)
+            for w in (rv_l, rh_l, rv_r, rh_r))
 
     # The aggregated volume is a k-loop constant (main.cpp re-reads
     # asw_cost_buffer[1] in every asw_WTA_REF launch), so the diagonal
-    # shear the WTA target scans gather from is hoisted and built once.
+    # shear the WTA target scans gather from is hoisted and built once —
+    # after the crop, so the shear covers only the rows still needed.
     if jax.default_backend() in ("tpu", "axon"):
         from ..kernels.wta_gather import build_diag
 
@@ -97,10 +202,6 @@ def asw_pipeline_impl(left: jax.Array, right: jax.Array,
                            res.conf_ref, res.conf_target)
     red_pre = ops.red_diagnostic(wta_left_img * cfg.d_max, cons.consistent,
                                  cfg.d_max)
-
-    # Refinement support weights from the RAW images, refinement gammas.
-    rv_l, rh_l = ops.refinement_weights(left, R, cfg.ref_gamma_c, cfg.ref_gamma_p)
-    rv_r, rh_r = ops.refinement_weights(right, R, cfg.ref_gamma_c, cfg.ref_gamma_p)
 
     def body(state, _):
         filled_q, right_q, conf_ref, conf_tar = state
@@ -139,9 +240,10 @@ def asw_pipeline_impl(left: jax.Array, right: jax.Array,
     )
 
 
-@partial(jax.jit, static_argnums=2)
-def asw_pipeline(left, right, cfg: StereoConfig) -> ASWResult:
-    return asw_pipeline_impl(left, right, cfg)
+@partial(jax.jit, static_argnums=(2, 3))
+def asw_pipeline(left, right, cfg: StereoConfig,
+                 crop: tuple = (0, 0)) -> ASWResult:
+    return asw_pipeline_impl(left, right, cfg, crop)
 
 
 class ASWDebug(NamedTuple):

@@ -41,9 +41,11 @@ def cross_reach(cfg: StereoConfig) -> int:
 
 
 def _run_banded(run_band: Callable, crop_axes, left, right, reach: int,
-                num_bands: int):
-    """Generic band loop.  run_band(left_slice, right_slice) -> pytree of
-    arrays; crop_axes: matching pytree of the row axis per leaf.
+                num_bands: int, band_crop: Callable = None):
+    """Generic band loop.  run_band(left_slice, right_slice, crop) ->
+    pytree of arrays; crop_axes: matching pytree of the row axis per leaf;
+    band_crop(halo_top, halo_bot) -> rows the pipeline itself sheds from
+    each side mid-run (see asw_pipeline_impl's crop), (0, 0) when None.
 
     Each band is synced before the next is dispatched: the whole point of
     banding is bounding device memory, and async dispatch would otherwise
@@ -58,9 +60,11 @@ def _run_banded(run_band: Callable, crop_axes, left, right, reach: int,
         if y0 >= y1:
             break
         lo, hi = max(0, y0 - reach), min(H, y1 + reach)
-        out = run_band(left[lo:hi], right[lo:hi])
+        crop = band_crop(y0 - lo, hi - y1) if band_crop else (0, 0)
+        out = run_band(left[lo:hi], right[lo:hi], crop)
+        off = y0 - lo - crop[0]
         cropped = jax.tree.map(
-            lambda leaf, ax: jax.lax.slice_in_dim(leaf, y0 - lo, y1 - lo,
+            lambda leaf, ax: jax.lax.slice_in_dim(leaf, off, off + (y1 - y0),
                                                   axis=ax),
             out, crop_axes)
         # Host-fetch sync (through the axon relay block_until_ready can
@@ -81,9 +85,9 @@ def _run_banded(run_band: Callable, crop_axes, left, right, reach: int,
 # geometry.  Module-level so jax.jit's cache (keyed on function identity)
 # persists across asw_pipeline_tiled calls — a per-call closure retraced
 # every band of every frame.
-@partial(jax.jit, static_argnums=2)
-def _asw_band_jit(l, r, cfg):
-    res = asw_mod.asw_pipeline_impl(l, r, cfg)
+@partial(jax.jit, static_argnums=(2, 3))
+def _asw_band_jit(l, r, cfg, crop):
+    res = asw_mod.asw_pipeline_impl(l, r, cfg, crop)
     return {"disparity": res.disparity, "filled": res.filled}
 
 
@@ -91,12 +95,21 @@ def asw_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int):
     """Banded ASW run; returns (disparity, filled) maps, identical to the
     full-image asw_pipeline outputs."""
     reach = asw_reach(cfg)
+    # Aggregation needs the full halo; everything after it reaches only
+    # k*radius + 1 rows, so the pipeline sheds the difference per side
+    # mid-run (asw_pipeline_impl's crop) — the aggregated volume, its
+    # diagonal shear, and all post-aggregation compute shrink accordingly.
+    keep = cfg.k_iters * cfg.radius + 1
 
-    def run_band(l, r):
-        return _asw_band_jit(l, r, cfg)
+    def run_band(l, r, crop):
+        return _asw_band_jit(l, r, cfg, crop)
+
+    def band_crop(h_top, h_bot):
+        return max(0, h_top - keep), max(0, h_bot - keep)
 
     axes = {"disparity": 0, "filled": 0}
-    out = _run_banded(run_band, axes, left, right, reach, num_bands)
+    out = _run_banded(run_band, axes, left, right, reach, num_bands,
+                      band_crop)
     return out["disparity"], out["filled"]
 
 
@@ -117,7 +130,7 @@ def cross_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int):
         cfg = cfg.replace(oii_impl=impl)
     reach = cross_reach(cfg)
 
-    def run_band(l, r):
+    def run_band(l, r, crop):
         res = cross_mod.cross_pipeline(l, r, cfg)
         return {"initial": res.initial, "final": res.final}
 

@@ -111,3 +111,28 @@ def test_lane_chunked_passes_match_unchunked(rng):
     got_h = ka.asw_hpass_pallas(cost, wh_l, wh_r, R2, interpret=True)
     np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
                                rtol=3e-6, atol=0)
+
+
+def test_aggregate_d_chunked_matches_unchunked(data):
+    """The disparity-chunked aggregation driver (models/asw.py) must
+    reproduce the unchunked Pallas aggregation exactly: same kernels and
+    tap order per chunk, same ((c0+c1)+c2) SAD association, crop rows
+    shed inside the chunk scan."""
+    from stereo_matchin_tpu import StereoConfig
+    from stereo_matchin_tpu.models.asw import _aggregate_d_chunked
+
+    cost, wv_l, wv_r, wh_l, wh_r = data
+    rng = np.random.default_rng(11)
+    left = jnp.asarray((rng.integers(0, 256, (H, W, 3)) /
+                        np.float32(255.0)).astype(np.float32))
+    right = jnp.roll(left, -2, axis=1)
+    r_iters = 2
+    want = asw_aggregate_pallas(cost, wv_l, wv_r, wh_l, wh_r, R, r_iters,
+                                interpret=True)
+    for n_chunks, crop in ((1, (0, 0)), (7, (5, 3))):
+        cfg = StereoConfig(d_max=D - 1, radius=R, r_iters=r_iters,
+                           aggr_d_chunks=n_chunks)
+        got = _aggregate_d_chunked(left, right, wv_l, wv_r, wh_l, wh_r,
+                                   cfg, crop, interpret=True)
+        ref = want[:, crop[0]:H - crop[1]]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
