@@ -134,7 +134,7 @@ def bench_config3_band(runs: int = 2):
     from stereo_matchin_tpu.models import asw as asw_mod
     from stereo_matchin_tpu.models.tiled import asw_reach
 
-    cfg = REFERENCE_CONFIG.replace(d_max=279, aggr_d_chunks=4)
+    cfg = REFERENCE_CONFIG.replace(d_max=279, aggr_d_chunks=8)
     W, H = 2880, 1988
     reach = asw_reach(cfg)
     band_rows = 512                     # kept rows per band (HBM-bound:
@@ -142,10 +142,13 @@ def bench_config3_band(runs: int = 2):
     #                                     halo rows; disparity-chunked
     #                                     aggregation + the post-
     #                                     aggregation crop bound the live
-    #                                     (280, rows, 2944) volumes.
+    #                                     (280, rows, 2944) volumes; 8
+    #                                     chunks of 40 planes fit the
+    #                                     dres kernels' VMEM estimate.
     #                                     Measured: 192 rows unchunked
-    #                                     44 Mdisp/s; 512/4ch 70.1; 768
-    #                                     rows is chunk-overhead-bound)
+    #                                     44 Mdisp/s; 512/4ch grid 70.1;
+    #                                     512/8ch dres 131.6; 768 rows
+    #                                     OOMs HBM)
     crop = reach - (cfg.k_iters * cfg.radius + 1)   # shed mid-pipeline
     rng = np.random.default_rng(0)
     base = rng.random((rows, W, 3), dtype=np.float32)

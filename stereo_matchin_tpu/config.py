@@ -77,6 +77,12 @@ class StereoConfig:
     # non-dividing plane count runs a smaller remainder chunk.  Values
     # identical to the unchunked path.
     aggr_d_chunks: int = 0
+    # ASW aggregation kernel family: "dres" = disparity-resident
+    # transposed kernels (kernels/asw_aggregation_dres.py — the fast
+    # single-chip schedule), "grid" = the (row, d)-gridded kernels
+    # (kernels/asw_aggregation.py — also the halo-sharded tile path),
+    # "auto" = dres whenever its per-program VMEM estimate fits the chip.
+    aggr_kernels: str = "auto"
 
     def __post_init__(self):
         if self.d_max < 1:
@@ -89,6 +95,10 @@ class StereoConfig:
             raise ValueError(
                 f"aggr_d_chunks ({self.aggr_d_chunks}) must be in "
                 f"[0, num_disp={self.d_max + 1}]")
+        if self.aggr_kernels not in ("auto", "dres", "grid"):
+            raise ValueError(
+                f"aggr_kernels must be 'auto', 'dres' or 'grid', "
+                f"got {self.aggr_kernels!r}")
 
     @property
     def num_disp(self) -> int:

@@ -1,0 +1,379 @@
+"""Disparity-resident transposed-layout Pallas kernels for ASW aggregation.
+
+Second-generation schedule for the reference's hot loop
+(`asw_vcost_aggregation.cl` / `asw_hcost_aggregation.cl` x r,
+main.cpp:492-515 — 79-95% of ASW runtime).  Same semantics as
+`ops.asw_aggregate_pass` and `kernels.asw_aggregation` (exact in f32);
+only the layout and schedule change:
+
+  * volumes and weight strips live TRANSPOSED — (D, W, H) / (T, W, H) —
+    so the per-disparity right-weight shift max(x - d, 0) moves from the
+    lane dimension to the SUBLANE dimension;
+  * the shift is decomposed d = 8k + r.  Measured on v5e, a dynamic lane
+    rotate + edge select costs ~3x the tap FMA work and a dynamic
+    sublane roll even more, but an 8-ALIGNED dynamic sublane slice is
+    free (pure addressing).  Each program therefore runs 8 static
+    residue sections: one unaligned window copy into VMEM scratch per
+    residue (amortised over D/8 disparities x T taps), then a fori over
+    k whose remaining 8k offset is an aligned `pl.ds` — the tap loop is
+    pure multiply-accumulate;
+  * each program owns one W-block and ALL disparities (grid = x-blocks
+    (x lane-blocks when H is huge)), so d is a kernel-level loop index
+    and the residue decomposition is static; weight blocks are fetched
+    once per x-block;
+  * the left-edge clamp (x - d < 0 reads column 0, asw_*cost_
+    aggregation.cl) is baked into the unfolded weight windows as edge
+    padding — no per-element select anywhere;
+  * h-pass taps are static sublane slices of a two-block cost window;
+    v-pass taps are static lane slices (the one remaining relayout cost
+    — lane-dim shifts are expensive on this part in any orientation).
+
+Both passes beat the grid-(row, d) kernels (`asw_aggregation.py`, kept
+for the halo-sharded tile path): measured per pass on teddy shapes the
+h-pass is ~2.5x and the denominator ~2.4x faster; the transposed layout
+also shrinks lane padding for 450-wide Middlebury pairs (H=375 -> 384
+lanes vs W=450 -> 512).
+
+For the disparity-chunked driver (models/asw.py) pass the traced chunk
+offset `d0` (must be a multiple of 8) and the static `max_shift`; the
+offset is baked into the unfolded windows via XLA dynamic slices, so the
+kernels themselves stay offset-free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_LIMIT = 118 * 1024 * 1024     # v5e has 128 MB of physical VMEM
+
+
+def _mult(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _vmem_need(D: int, H: int, radius: int, w_b: int) -> int:
+    """Conservative per-program VMEM estimate for the pass kernels.
+
+    Streamed blocks are double-buffered by the Pallas pipeline; the
+    residue-window scratch is single."""
+    T = 2 * radius + 1
+    H_pad = _mult(H, 128)
+    HL = _mult(T - 1 + H_pad, 128)
+    P = _mult(max(D - 1, 1), 8)
+    blocks = (T * w_b * H_pad            # wl
+              + T * (w_b + P + 8) * H_pad  # unfolded wr
+              + D * w_b * HL             # cost (v; >= the h-pass pair)
+              + 2 * D * w_b * H_pad)     # den + out
+    scratch = T * (P + w_b) * H_pad
+    return (2 * blocks + scratch) * 4
+
+
+def _w_block(radius: int, D: int, H: int) -> int | None:
+    """Largest measured-good W block whose VMEM estimate fits the chip.
+
+    The h-pass reads its cost window from two consecutive W-blocks, so
+    w_b >= 2R is a hard floor (radius 17 — the 35x35 BASELINE window —
+    needs 40).  96 measured ~7% faster than 32 at teddy geometry; larger
+    blocks amortise the per-residue window copies and the per-k
+    bookkeeping.  None = nothing fits; callers fall back to the
+    grid-(row, d) kernels."""
+    floor = max(32, _mult(2 * radius, 8))
+    for w_b in (96, 64, floor):
+        if w_b < floor:
+            continue
+        if _vmem_need(D, H, radius, w_b) <= _VMEM_LIMIT - 8 * 1024 * 1024:
+            return w_b
+    return None
+
+
+def dres_vmem_fits(D: int, H: int, radius: int) -> bool:
+    """D = per-call disparity planes (a chunk for the d-chunked driver),
+    H = image height (the lane dim)."""
+    return _w_block(radius, D, H) is not None
+
+
+def unfold_weights(wr_t, w_b: int, P: int, n_x: int, d0, max_shift: int):
+    """(T, W, H) right-weight strip -> (n_x, T, w_b + P + 8, H) windows.
+
+    Window i, sublane row m holds wr[i*w_b + m - P - d0] with
+    clamp-to-edge at the image borders, so the kernel's slice at
+    P - d_local lands on wr[x - (d0 + d_local)] — the reference's
+    max(x - d, 0) read.  d0 may be traced (XLA dynamic slices); the
+    kernels require d0 % 8 == 0 so their aligned-slice decomposition
+    stays valid.
+    """
+    T, W, H = wr_t.shape
+    ms_pad = _mult(max_shift, 8) + 8
+    win = w_b + P + 8
+    right = (n_x * w_b - W) + w_b + 8
+    ext = jnp.pad(wr_t, [(0, 0), (ms_pad, right), (0, 0)], mode="edge")
+    base = jnp.asarray(ms_pad - P, jnp.int32) - jnp.asarray(d0, jnp.int32)
+    return jnp.stack([
+        lax.dynamic_slice_in_dim(ext, base + i * w_b, win, axis=1)
+        for i in range(n_x)])
+
+
+def _residue_sections(D: int, P: int, section):
+    """section(r, n_k, astart) per residue class; d_local = 8k + r."""
+    for r in range(8):
+        n_k = (D - 1 - r) // 8 + 1
+        if r >= D or n_k <= 0:
+            continue
+        base = P if r == 0 else P - 8
+
+        def astart(k, base=base):
+            return pl.multiple_of(base - 8 * k, 8)
+
+        section(r, n_k, astart)
+
+
+def _copy_window(wru_ref, win_scr, r: int, P: int, w_b: int):
+    s_r = (8 - r) % 8
+    win_scr[:] = wru_ref[0, :, s_r:s_r + P + w_b, :]
+
+
+def _h_kernel(wl_ref, wru_ref, ca_ref, cb_ref, den_ref, out_ref, win_scr, *,
+              radius: int, eps: float, w_b: int, P: int, D: int, H_out: int):
+    T = 2 * radius + 1
+    wl = wl_ref[:]
+
+    def section(r, n_k, astart):
+        _copy_window(wru_ref, win_scr, r, P, w_b)
+
+        def body(k, carry):
+            d = 8 * k + r
+            wr = win_scr[:, pl.ds(astart(k), w_b), :]
+            c2 = jnp.concatenate([ca_ref[pl.ds(d, 1)][0],
+                                  cb_ref[pl.ds(d, 1)][0]], axis=0)
+            num = jnp.full((w_b, H_out), eps, jnp.float32)
+            for t in range(T):
+                num = num + (wl[t] * wr[t]) * c2[t:t + w_b]
+            out_ref[pl.ds(d, 1)] = (num / den_ref[pl.ds(d, 1)][0])[None]
+            return carry
+
+        lax.fori_loop(0, n_k, body, 0)
+
+    _residue_sections(D, P, section)
+
+
+def _v_kernel(wl_ref, wru_ref, c_ref, den_ref, out_ref, win_scr, *,
+              radius: int, eps: float, w_b: int, P: int, D: int, H_out: int):
+    T = 2 * radius + 1
+    wl = wl_ref[:]
+
+    def section(r, n_k, astart):
+        _copy_window(wru_ref, win_scr, r, P, w_b)
+
+        def body(k, carry):
+            d = 8 * k + r
+            wr = win_scr[:, pl.ds(astart(k), w_b), :]
+            cd = c_ref[pl.ds(d, 1)][0]                     # (w_b, HL)
+            num = jnp.full((w_b, H_out), eps, jnp.float32)
+            for t in range(T):
+                num = num + (wl[t] * wr[t]) * cd[:, t:t + H_out]
+            out_ref[pl.ds(d, 1)] = (num / den_ref[pl.ds(d, 1)][0])[None]
+            return carry
+
+        lax.fori_loop(0, n_k, body, 0)
+
+    _residue_sections(D, P, section)
+
+
+def _den_kernel(wl_ref, wru_ref, out_ref, win_scr, *, radius: int,
+                eps: float, w_b: int, P: int, D: int, H_out: int):
+    T = 2 * radius + 1
+    wl = wl_ref[:]
+
+    def section(r, n_k, astart):
+        _copy_window(wru_ref, win_scr, r, P, w_b)
+
+        def body(k, carry):
+            d = 8 * k + r
+            wr = win_scr[:, pl.ds(astart(k), w_b), :]
+            den = jnp.full((w_b, H_out), eps, jnp.float32)
+            for t in range(T):
+                den = den + wl[t] * wr[t]
+            out_ref[pl.ds(d, 1)] = den[None]
+            return carry
+
+        lax.fori_loop(0, n_k, body, 0)
+
+    _residue_sections(D, P, section)
+
+
+def _params(interpret: bool):
+    if interpret:
+        return {}
+    return {"compiler_params":
+            pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)}
+
+
+def _prep(wl_t, wr_t, D: int, w_b: int, d0, max_shift: int):
+    T, W, H = wl_t.shape
+    H_pad = _mult(H, 128)
+    P = _mult(max(D - 1, 1), 8)
+    n_x = -(-W // w_b)
+    W_pad = n_x * w_b
+    wl = jnp.pad(wl_t, [(0, 0), (0, W_pad - W), (0, H_pad - H)], mode="edge")
+    wru = unfold_weights(
+        jnp.pad(wr_t, [(0, 0), (0, 0), (0, H_pad - H)], mode="edge"),
+        w_b, P, n_x, d0, max_shift)
+    return wl, wru, H_pad, P, n_x, W_pad
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret",
+                                             "num_disp", "max_shift"))
+def asw_den_dres(wl_t, wr_t, radius: int, eps: float = 1e-5,
+                 interpret: bool = False, d0=0, num_disp: int | None = None,
+                 max_shift: int | None = None):
+    """eps + sum_t wL*wR_shifted, transposed layout (T, W, H) -> (D, W, H).
+
+    Same tap order as the pass kernels, so hoisting it out of the r-loop
+    is value-identical (matches asw_aggregation.asw_den_pallas).
+    """
+    T, W, H = wl_t.shape
+    D = num_disp
+    ms = (D - 1) if max_shift is None else max_shift
+    w_b = _w_block(radius, D, H)
+    if w_b is None:
+        raise ValueError(
+            f"dres kernels do not fit VMEM at D={D}, H={H}, "
+            f"radius={radius}; gate with dres_vmem_fits()")
+    wl, wru, H_pad, P, n_x, W_pad = _prep(wl_t, wr_t, D, w_b, d0, ms)
+    out = pl.pallas_call(
+        functools.partial(_den_kernel, radius=radius, eps=eps, w_b=w_b,
+                          P=P, D=D, H_out=H_pad),
+        grid=(n_x,),
+        in_specs=[
+            pl.BlockSpec((T, w_b, H_pad), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, T, w_b + P + 8, H_pad), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((D, w_b, H_pad), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((D, W_pad, H_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((T, P + w_b, H_pad), jnp.float32)],
+        interpret=interpret,
+        **_params(interpret),
+    )(wl, wru)
+    return out[:, :W, :H]
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret",
+                                             "max_shift"))
+def asw_hpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
+                   interpret: bool = False, d0=0, den=None,
+                   max_shift: int | None = None):
+    """Horizontal pass, transposed: cost (D, W, H) -> (D, W, H).
+
+    Taps walk W (sublanes): the cost window is two consecutive W-blocks
+    of the R-edge-padded volume (w_b >= 2R).
+    """
+    D, W, H = cost_t.shape
+    T = 2 * radius + 1
+    ms = (D - 1) if max_shift is None else max_shift
+    w_b = _w_block(radius, D, H)
+    if w_b is None:
+        raise ValueError(
+            f"dres kernels do not fit VMEM at D={D}, H={H}, "
+            f"radius={radius}; gate with dres_vmem_fits()")
+    if den is None:
+        den = asw_den_dres(wl_t, wr_t, radius, eps, interpret, d0,
+                           num_disp=D, max_shift=ms)
+    wl, wru, H_pad, P, n_x, W_pad = _prep(wl_t, wr_t, D, w_b, d0, ms)
+    total = (n_x + 1) * w_b
+    cost_p = jnp.pad(cost_t, [(0, 0), (radius, total - W - radius),
+                              (0, H_pad - H)], mode="edge")
+    den_p = jnp.pad(den, [(0, 0), (0, W_pad - W), (0, H_pad - H)],
+                    mode="edge")
+    cspec = lambda k: pl.BlockSpec((D, w_b, H_pad),
+                                   lambda i, k=k: (0, i + k, 0))
+    out = pl.pallas_call(
+        functools.partial(_h_kernel, radius=radius, eps=eps, w_b=w_b,
+                          P=P, D=D, H_out=H_pad),
+        grid=(n_x,),
+        in_specs=[
+            pl.BlockSpec((T, w_b, H_pad), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, T, w_b + P + 8, H_pad), lambda i: (i, 0, 0, 0)),
+            cspec(0), cspec(1),
+            pl.BlockSpec((D, w_b, H_pad), lambda i: (0, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((D, w_b, H_pad), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((D, W_pad, H_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((T, P + w_b, H_pad), jnp.float32)],
+        interpret=interpret,
+        **_params(interpret),
+    )(wl, wru, cost_p, cost_p, den_p)
+    return out[:, :W, :H]
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret",
+                                             "max_shift"))
+def asw_vpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
+                   interpret: bool = False, d0=0, den=None,
+                   max_shift: int | None = None):
+    """Vertical pass, transposed: cost (D, W, H) -> (D, W, H).
+
+    Taps walk H (lanes): static lane slices of the R-lane-padded cost
+    block — the one relayout cost this schedule keeps (lane-dimension
+    shifts are expensive on this hardware in any orientation).
+    """
+    D, W, H = cost_t.shape
+    T = 2 * radius + 1
+    ms = (D - 1) if max_shift is None else max_shift
+    w_b = _w_block(radius, D, H)
+    if w_b is None:
+        raise ValueError(
+            f"dres kernels do not fit VMEM at D={D}, H={H}, "
+            f"radius={radius}; gate with dres_vmem_fits()")
+    if den is None:
+        den = asw_den_dres(wl_t, wr_t, radius, eps, interpret, d0,
+                           num_disp=D, max_shift=ms)
+    wl, wru, H_pad, P, n_x, W_pad = _prep(wl_t, wr_t, D, w_b, d0, ms)
+    HL = _mult(T - 1 + H_pad, 128)
+    cost_p = jnp.pad(cost_t, [(0, 0), (0, W_pad - W),
+                              (radius, HL - H - radius)], mode="edge")
+    den_p = jnp.pad(den, [(0, 0), (0, W_pad - W), (0, H_pad - H)],
+                    mode="edge")
+    out = pl.pallas_call(
+        functools.partial(_v_kernel, radius=radius, eps=eps, w_b=w_b,
+                          P=P, D=D, H_out=H_pad),
+        grid=(n_x,),
+        in_specs=[
+            pl.BlockSpec((T, w_b, H_pad), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, T, w_b + P + 8, H_pad), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((D, w_b, HL), lambda i: (0, i, 0)),
+            pl.BlockSpec((D, w_b, H_pad), lambda i: (0, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((D, w_b, H_pad), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((D, W_pad, H_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((T, P + w_b, H_pad), jnp.float32)],
+        interpret=interpret,
+        **_params(interpret),
+    )(wl, wru, cost_p, den_p)
+    return out[:, :W, :H]
+
+
+def asw_aggregate_dres(cost_t, wv_l_t, wv_r_t, wh_l_t, wh_r_t, radius: int,
+                       r_iters: int, eps: float = 1e-5,
+                       interpret: bool = False):
+    """r_iters x (vertical -> horizontal) in transposed layout, same
+    wiring as main.cpp:492-515; denominators hoisted (value-identical —
+    the reference recomputes them every pass)."""
+    D = cost_t.shape[0]
+    den_v = asw_den_dres(wv_l_t, wv_r_t, radius, eps, interpret, num_disp=D)
+    den_h = asw_den_dres(wh_l_t, wh_r_t, radius, eps, interpret, num_disp=D)
+
+    def body(c, _):
+        cv = asw_vpass_dres(c, wv_l_t, wv_r_t, radius, eps, interpret,
+                            den=den_v)
+        ch = asw_hpass_dres(cv, wh_l_t, wh_r_t, radius, eps, interpret,
+                            den=den_h)
+        return ch, None
+
+    out, _ = lax.scan(body, cost_t, None, length=r_iters)
+    return out

@@ -43,10 +43,23 @@ def _use_pallas(cfg: StereoConfig) -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _chunk_geometry(D: int, n_chunks: int, mult: int = 1):
+    """Uniform scan chunks: size ceil(D / n) rounded up to `mult` (the
+    disparity-resident kernels need chunk offsets % 8 == 0).  A
+    non-dividing plane count runs the same-sized chunks over a padded
+    plane range; the garbage planes are cropped after the scan."""
+    raw = -(-D // n_chunks)
+    chunk = -(-raw // mult) * mult
+    n_eff = -(-D // chunk)
+    return chunk, n_eff
+
+
 def _aggregate_d_chunked(left, right, wv_l, wv_r, wh_l, wh_r,
                          cfg: StereoConfig, crop: tuple,
                          interpret: bool = False):
-    """SAD cost + r aggregation passes, lax.scan'd over disparity chunks.
+    """SAD cost + r aggregation passes, lax.scan'd over disparity chunks
+    (grid-(row, d) kernel variant; see _aggregate_dres for the
+    disparity-resident twin).
 
     Disparity planes are independent through the whole aggregation (the
     support weights are d-independent; only the right-view weight/pixel
@@ -67,18 +80,18 @@ def _aggregate_d_chunked(left, right, wv_l, wv_r, wh_l, wh_r,
     R, D = cfg.radius, cfg.num_disp
     H, W = left.shape[:2]
     c_top, c_bot = crop
-    n_chunks = cfg.aggr_d_chunks
-    chunk = D // n_chunks
-    ms = D - 1                         # static max shift (lane-chunk halos)
+    chunk, n_eff = _chunk_geometry(D, cfg.aggr_d_chunks)
+    Dp = chunk * n_eff
+    ms = Dp - 1                        # static max shift (lane-chunk halos)
 
     l3 = jnp.moveaxis(left, -1, 0) * 255.0           # (3, H, W)
     ext = jnp.pad(jnp.moveaxis(right, -1, 0) * 255.0,
-                  [(0, 0), (0, 0), (D - 1, 0)], mode="edge")
+                  [(0, 0), (0, 0), (Dp - 1, 0)], mode="edge")
 
     def cost_chunk(d0):
         planes = []
         for dd in range(chunk):
-            sl = lax.dynamic_slice_in_dim(ext, D - 1 - (d0 + dd), W, axis=2)
+            sl = lax.dynamic_slice_in_dim(ext, Dp - 1 - (d0 + dd), W, axis=2)
             t = jnp.abs(l3 - sl)
             planes.append((t[0] + t[1]) + t[2])      # ref channel order
         return jnp.stack(planes)                     # (chunk, H, W)
@@ -100,10 +113,148 @@ def _aggregate_d_chunked(left, right, wv_l, wv_r, wh_l, wh_r,
         cagg = lax.slice_in_dim(cagg, c_top, H - c_bot, axis=1)
         return lax.dynamic_update_slice(acc, cagg, (d0, 0, 0)), None
 
-    acc0 = jnp.zeros((D, H - c_top - c_bot, W), jnp.float32)
-    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    acc0 = jnp.zeros((Dp, H - c_top - c_bot, W), jnp.float32)
+    offsets = jnp.arange(n_eff, dtype=jnp.int32) * chunk
     acc, _ = lax.scan(body, acc0, offsets)
-    return acc
+    return acc[:D]
+
+
+def _aggregate_dres(left, right, cfg: StereoConfig, crop: tuple,
+                    interpret: bool = False):
+    """Aggregation via the disparity-resident transposed kernels
+    (kernels/asw_aggregation_dres.py) — the fast single-chip path.
+
+    Everything d-shift-adjacent (support weights, SAD cost, the 14
+    passes) is computed directly in the (D, W, H) layout, so the only
+    layout change the rest of the pipeline sees is one volume transpose
+    of the final aggregated cost.  Values identical to the grid-kernel /
+    ops paths (same tap order and associations) up to 1-ulp FMA
+    contraction.  Honors cfg.aggr_d_chunks with chunks rounded to
+    multiples of 8 (the kernels' aligned-slice decomposition needs
+    chunk offsets % 8 == 0)."""
+    from ..kernels.asw_aggregation_dres import (asw_aggregate_dres,
+                                                asw_den_dres,
+                                                asw_hpass_dres,
+                                                asw_vpass_dres)
+
+    R, D = cfg.radius, cfg.num_disp
+    H, W = left.shape[:2]
+    c_top, c_bot = crop
+    lt, rt = jnp.swapaxes(left, 0, 1), jnp.swapaxes(right, 0, 1)
+    # axis is relative to the transposed image: axis=1 walks y (vertical
+    # taps), axis=0 walks x — the strips come out natively transposed.
+    wv_l = ops.support_weights(lt, R, cfg.gamma_c, cfg.gamma_p, axis=1)
+    wh_l = ops.support_weights(lt, R, cfg.gamma_c, cfg.gamma_p, axis=0)
+    wv_r = ops.support_weights(rt, R, cfg.gamma_c, cfg.gamma_p, axis=1)
+    wh_r = ops.support_weights(rt, R, cfg.gamma_c, cfg.gamma_p, axis=0)
+
+    if not cfg.aggr_d_chunks:
+        cost_t = ops.sad_cost_volume_t(lt, rt, D, scale=255.0)
+        aggr_t = asw_aggregate_dres(cost_t, wv_l, wv_r, wh_l, wh_r, R,
+                                    cfg.r_iters, cfg.eps, interpret)
+        if c_top or c_bot:
+            aggr_t = lax.slice_in_dim(aggr_t, c_top, H - c_bot, axis=2)
+        return jnp.swapaxes(aggr_t, 1, 2)
+
+    chunk, n_eff = _chunk_geometry(D, cfg.aggr_d_chunks, mult=8)
+    Dp = chunk * n_eff
+    ms = Dp - 1
+    l3 = jnp.moveaxis(lt, -1, 0) * 255.0             # (3, W, H)
+    ext = jnp.pad(jnp.moveaxis(rt, -1, 0) * 255.0,
+                  [(0, 0), (Dp - 1, 0), (0, 0)], mode="edge")
+
+    def cost_chunk(d0):
+        planes = []
+        for dd in range(chunk):
+            sl = lax.dynamic_slice_in_dim(ext, Dp - 1 - (d0 + dd), W, axis=1)
+            t = jnp.abs(l3 - sl)
+            planes.append((t[0] + t[1]) + t[2])      # ref channel order
+        return jnp.stack(planes)                     # (chunk, W, H)
+
+    def body(acc, d0):
+        den_v = asw_den_dres(wv_l, wv_r, R, cfg.eps, interpret, d0=d0,
+                             num_disp=chunk, max_shift=ms)
+        den_h = asw_den_dres(wh_l, wh_r, R, cfg.eps, interpret, d0=d0,
+                             num_disp=chunk, max_shift=ms)
+
+        def rbody(c, _):
+            cv = asw_vpass_dres(c, wv_l, wv_r, R, cfg.eps, interpret,
+                                d0=d0, den=den_v, max_shift=ms)
+            ch = asw_hpass_dres(cv, wh_l, wh_r, R, cfg.eps, interpret,
+                                d0=d0, den=den_h, max_shift=ms)
+            return ch, None
+
+        cagg, _ = lax.scan(rbody, cost_chunk(d0), None, length=cfg.r_iters)
+        cagg = lax.slice_in_dim(cagg, c_top, H - c_bot, axis=2)
+        return lax.dynamic_update_slice(acc, cagg, (d0, 0, 0)), None
+
+    acc0 = jnp.zeros((Dp, W, H - c_top - c_bot), jnp.float32)
+    offsets = jnp.arange(n_eff, dtype=jnp.int32) * chunk
+    acc, _ = lax.scan(body, acc0, offsets)
+    return jnp.swapaxes(acc[:D], 1, 2)
+
+
+def _use_dres(cfg: StereoConfig, H: int, W: int) -> bool:
+    if cfg.aggr_kernels == "grid":
+        return False
+    from ..kernels.asw_aggregation_dres import dres_vmem_fits
+
+    chunk = (_chunk_geometry(cfg.num_disp, cfg.aggr_d_chunks, mult=8)[0]
+             if cfg.aggr_d_chunks else cfg.num_disp)
+    fits = dres_vmem_fits(chunk, H, cfg.radius)
+    if cfg.aggr_kernels == "dres":
+        if not fits:
+            raise ValueError(
+                f"aggr_kernels='dres' requested but the per-program VMEM "
+                f"estimate exceeds the chip limit at D_chunk={chunk}, H={H},"
+                f" radius={cfg.radius}; use aggr_d_chunks or "
+                f"aggr_kernels='auto'")
+        return True
+    # "auto": the dres schedule is ~35% cheaper per padded element than
+    # the grid kernels, but its padded element count differs (lanes are H
+    # not W).  Pick it unless transposition inflates the padded area past
+    # that advantage (e.g. tsukuba: H=288 -> 384 lanes is +33% area while
+    # W=384 pads exactly; measured dres loses there, wins on every
+    # 450-wide pair).
+    m8, m128 = (lambda x: -(-x // 8) * 8), (lambda x: -(-x // 128) * 128)
+    elems_t = m8(W) * m128(H)
+    elems_n = m8(H) * m128(W)
+    return fits and elems_t <= 1.25 * elems_n
+
+
+def _aggregate(left, right, cfg: StereoConfig, crop: tuple,
+               interpret: bool = False):
+    """Pick and run the aggregation backend; returns the (D, H', W)
+    aggregated volume with `crop` rows already shed."""
+    R, D = cfg.radius, cfg.num_disp
+    H, W = left.shape[:2]
+    c_top, c_bot = crop
+    use_pallas = _use_pallas(cfg)
+    if use_pallas and _use_dres(cfg, H, W):
+        return _aggregate_dres(left, right, cfg, crop, interpret)
+
+    wv_l = ops.support_weights(left, R, cfg.gamma_c, cfg.gamma_p, axis=0)
+    wh_l = ops.support_weights(left, R, cfg.gamma_c, cfg.gamma_p, axis=1)
+    wv_r = ops.support_weights(right, R, cfg.gamma_c, cfg.gamma_p, axis=0)
+    wh_r = ops.support_weights(right, R, cfg.gamma_c, cfg.gamma_p, axis=1)
+
+    if use_pallas and cfg.aggr_d_chunks:
+        # Builds its own per-chunk cost planes and sheds the crop rows
+        # inside the chunk scan — no full-size pre-crop volume ever lives.
+        return _aggregate_d_chunked(left, right, wv_l, wv_r, wh_l, wh_r,
+                                    cfg, crop, interpret)
+    cost0 = ops.sad_cost_volume(left, right, D, scale=255.0)
+    if use_pallas:
+        from ..kernels.asw_aggregation import asw_aggregate_pallas
+
+        aggr = asw_aggregate_pallas(cost0, wv_l, wv_r, wh_l, wh_r, R,
+                                    cfg.r_iters, cfg.eps, interpret)
+    else:
+        aggr = ops.asw_aggregate(cost0, wv_l, wv_r, wh_l, wh_r, R,
+                                 cfg.r_iters, cfg.eps)
+    if c_top or c_bot:
+        aggr = lax.slice_in_dim(aggr, c_top, H - c_bot, axis=1)
+    return aggr
 
 
 class ASWResult(NamedTuple):
@@ -146,30 +297,7 @@ def asw_pipeline_impl(left: jax.Array, right: jax.Array,
     R, D = cfg.radius, cfg.num_disp
     c_top, c_bot = crop
 
-    wv_l = ops.support_weights(left, R, cfg.gamma_c, cfg.gamma_p, axis=0)
-    wh_l = ops.support_weights(left, R, cfg.gamma_c, cfg.gamma_p, axis=1)
-    wv_r = ops.support_weights(right, R, cfg.gamma_c, cfg.gamma_p, axis=0)
-    wh_r = ops.support_weights(right, R, cfg.gamma_c, cfg.gamma_p, axis=1)
-
-    use_pallas = _use_pallas(cfg)
-    if use_pallas and cfg.aggr_d_chunks:
-        # Builds its own per-chunk cost planes and sheds the crop rows
-        # inside the chunk scan — no full-size pre-crop volume ever lives.
-        aggr = _aggregate_d_chunked(left, right, wv_l, wv_r, wh_l, wh_r,
-                                    cfg, crop)
-    else:
-        cost0 = ops.sad_cost_volume(left, right, D, scale=255.0)
-        if use_pallas:
-            from ..kernels.asw_aggregation import asw_aggregate_pallas
-
-            aggr = asw_aggregate_pallas(cost0, wv_l, wv_r, wh_l, wh_r, R,
-                                        cfg.r_iters, cfg.eps)
-        else:
-            aggr = ops.asw_aggregate(cost0, wv_l, wv_r, wh_l, wh_r, R,
-                                     cfg.r_iters, cfg.eps)
-        if c_top or c_bot:
-            aggr = jax.lax.slice_in_dim(aggr, c_top, aggr.shape[1] - c_bot,
-                                        axis=1)
+    aggr = _aggregate(left, right, cfg, crop)
 
     # Refinement support weights from the RAW images, refinement gammas —
     # computed before any crop (see docstring), cropped alongside it.

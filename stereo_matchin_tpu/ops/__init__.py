@@ -13,7 +13,7 @@ from .common import (
     stack_shift_x,
     unorm8,
 )
-from .cost import sad_cost_volume
+from .cost import sad_cost_volume, sad_cost_volume_t
 from .median import median3x3
 from .cross import cross_arms
 from .support import support_weights
@@ -70,6 +70,7 @@ __all__ = [
     "refine_view",
     "refinement_weights",
     "sad_cost_volume",
+    "sad_cost_volume_t",
     "shift2d",
     "shift_axis",
     "stack_shift_x",

@@ -35,3 +35,27 @@ def sad_cost_volume(left, right, num_disp: int, scale: float = 1.0):
         term = jnp.abs(l[c][None] - planes)
         cost = term if cost is None else cost + term
     return cost
+
+
+def sad_cost_volume_t(left_t, right_t, num_disp: int, scale: float = 1.0):
+    """Transposed twin of sad_cost_volume for the disparity-resident
+    aggregation layout (kernels/asw_aggregation_dres.py).
+
+    left_t/right_t: (W, H, 3) transposed images.  Returns (D, W, H) with
+    cost_t[d, x, y] == sad_cost_volume(left, right, ...)[d, y, x] —
+    identical values (same |diff| terms, same c0+c1+c2 order), the
+    disparity shift just walks the leading (sublane) image axis.
+    """
+    W = left_t.shape[0]
+    l = jnp.moveaxis(left_t, -1, 0) * scale        # (3, W, H)
+    r = jnp.moveaxis(right_t, -1, 0) * scale
+    ext = jnp.pad(r, [(0, 0), (num_disp - 1, 0), (0, 0)], mode="edge")
+    cost = None
+    for c in range(3):
+        planes = jnp.stack(
+            [jax.lax.slice_in_dim(ext[c], num_disp - 1 - d,
+                                  num_disp - 1 - d + W, axis=0)
+             for d in range(num_disp)], axis=0)    # (D, W, H)
+        term = jnp.abs(l[c][None] - planes)
+        cost = term if cost is None else cost + term
+    return cost
