@@ -96,11 +96,25 @@ def _diag_wta_kernel(d1_ref, sc_ref, ct_ref, diag_a, diag_b, c1_ref, c2_ref,
         sc = sc_ref[pl.ds(y, 1), :]
         ct = ct_ref[pl.ds(y, 1), :]
         j = x_loc - d1 + (D - 1)                        # local diagonal offset
-        onehot = (k_sub == j).astype(jnp.float32)       # (2*wb, wb)
+        onehot = (k_sub == j).astype(jnp.bfloat16)      # (2*wb, wb)
         diag_y = jnp.concatenate([diag_a[y], diag_b[y]], axis=1)
-        g = lax.dot_general(diag_y, onehot, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)  # (d_block, wb)
+        # EXACT f32 gather from three DEFAULT-precision bf16 dots: a
+        # one-hot contraction has exactly one nonzero term per output, so
+        # there is no accumulation rounding, and the Dekker-style split
+        # h0+h1+h2 (8 mantissa bits each, non-overlapping) reconstructs
+        # every f32 cost bit-exactly.  Same result as one
+        # Precision.HIGHEST dot at half the MXU passes (3 vs 6) — the
+        # MXU truncates f32 operands to bf16 at DEFAULT, which is why a
+        # single plain dot is NOT usable here (it cost disparity
+        # fidelity in rounds 1-2 until caught).
+        h0 = diag_y.astype(jnp.bfloat16)
+        r1 = diag_y - h0.astype(jnp.float32)
+        h1 = r1.astype(jnp.bfloat16)
+        h2 = (r1 - h1.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = lambda h: lax.dot_general(
+            h, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (d_block, wb)
+        g = (dot(h0) + dot(h1)) + dot(h2)
         i_of_b = d1 - b_sub                             # step index i
         vals0 = g + sc * jnp.abs(ct - i_of_b)
         lo = jnp.maximum(1.0, d1 - x_lane)
@@ -164,8 +178,12 @@ def wta_diag_pallas(diag_hdk, d1, penalty_scale=None, penalty_center=None,
     # probe of an x-block; at large D the k-span cannot shrink, so the
     # D axis is chunked instead (d_block planes per grid step) to keep
     # the diag operand pair within VMEM at any geometry.
+    # Minimal lane block: the gather MACs scale with w_b (each output
+    # column contracts over 2*w_b one-hot rows), so the smallest legal
+    # block — max(128, D-1 rounded up) — is ~4x fewer MXU passes than the
+    # former 512 at teddy geometry.
     d_floor = max(128, -(-(D - 1) // 128) * 128)
-    w_b = max(d_floor, min(-(-W // 128) * 128, 512))
+    w_b = max(d_floor, min(-(-W // 128) * 128, 128))
     n_db = -(-D // 128)
     per_chunk = -(-D // n_db)                           # even-ish chunks
     d_block = -(-per_chunk // 8) * 8

@@ -69,7 +69,16 @@ def _gather_diagonal(cost, d1):
 
 
 def _gather_diagonal_mxu(cost, d1):
-    """The one-hot-matmul formulation (see _gather_diagonal docstring)."""
+    """The one-hot-matmul formulation (see _gather_diagonal docstring).
+
+    The gather must be EXACT in f32: the MXU truncates f32 operands to
+    bf16 at the default precision, so the cost operand is split
+    Dekker-style into three non-overlapping bf16 parts (8 mantissa bits
+    each) and gathered with three bf16 einsums — a one-hot contraction
+    has exactly one nonzero term per output, so there is no accumulation
+    rounding and h0+h1+h2 reconstructs every cost bit (same trick as
+    kernels/wta_gather.py, half the MXU passes of Precision.HIGHEST).
+    """
     D, H, W = cost.shape
     xs = jnp.arange(W, dtype=jnp.int32)[None, :]
     K = W + D - 1
@@ -78,9 +87,18 @@ def _gather_diagonal_mxu(cost, d1):
          for b in range(D)], axis=0)                     # (D, H, K)
     j = (xs - d1 + (D - 1)).astype(jnp.int32)            # (H, W), in [0, K)
     ks = jnp.arange(K, dtype=jnp.int32)
-    onehot = (j[:, None, :] == ks[None, :, None]).astype(jnp.bfloat16)
-    return jnp.einsum("byk,ykx->byx", diag, onehot,
-                      preferred_element_type=cost.dtype)
+    onehot = (j[:, None, :] == ks[None, :, None]).astype(cost.dtype)
+    # The parts stay f32-TYPED but bf16-rounded in VALUE: the MXU's
+    # default operand truncation then maps each part to itself
+    # (lossless), and the CPU backend — which lacks bf16 dots — runs
+    # them as ordinary f32 contractions.
+    h0 = diag.astype(jnp.bfloat16).astype(cost.dtype)
+    r1 = diag - h0
+    h1 = r1.astype(jnp.bfloat16).astype(cost.dtype)
+    h2 = r1 - h1                       # exactly bf16-representable
+    g = lambda h: jnp.einsum("byk,ykx->byx", h, onehot,
+                             preferred_element_type=cost.dtype)
+    return (g(h0) + g(h1)) + g(h2)
 
 
 def _target_scan_fast(cost, d1, penalty_scale=None, penalty_center=None,
