@@ -270,13 +270,137 @@ def _oii_vpass_impl(temp, arms_l, arms_r, *, arm_len: int, interpret: bool,
     return out[:, :H, :W]
 
 
+def _oii_h_kernel_t(d0_ref, ca_ref, cb_ref, hml_ref, hpl_ref, hmr_ref,
+                    hpr_ref, out_ref, *, arm_len: int, w_b: int, P: int,
+                    interpret: bool):
+    """Transposed (D, W, H) horizontal OII pass, one (x_block, d) program.
+
+    Taps walk x = SUBLANES: each tap is a static sublane slice of the
+    two-block cost window — no per-tap lane roll (on this part a lane
+    shift costs ~2x the add work; see asw_aggregation_dres.py).  The
+    column-bound quirks ((x+j) in [1, W-1], i.e. the reference's dropped
+    column 0 and edge clamp) are baked into the zero-padded cost — those
+    taps ADD 0.0 exactly as the masked form does, so sums are
+    bit-identical to the grid kernel / taps oracle.  The per-d right-arm
+    shift is an aligned dynamic sublane slice of the edge-padded full
+    plane + a small-window residue roll, amortised over all 51 taps.
+    """
+    d = d0_ref[0, 0] + pl.program_id(1)
+    L = arm_len
+    x0 = pl.program_id(0) * w_b
+
+    def shifted(ref):
+        off = x0 + P - d
+        q8 = pl.multiple_of((off // 8) * 8, 8)
+        r = off % 8
+        n = w_b + 8
+        win = ref[pl.ds(q8, n), :]
+        win = _roll(win, (n - r) % n, 0, interpret)
+        return win[:w_b, :]
+
+    hm = jnp.maximum(shifted(hmr_ref), hml_ref[:])
+    hp = jnp.minimum(shifted(hpr_ref), hpl_ref[:])
+    c2 = jnp.concatenate([ca_ref[0], cb_ref[0]], axis=0)   # (2*w_b, H)
+    acc = jnp.zeros(out_ref.shape[1:], c2.dtype)
+    for j in range(-L, L + 1):
+        m = (j >= hm) & (j <= hp)
+        acc = acc + jnp.where(m, c2[j + L:j + L + w_b], 0.0)
+    out_ref[0] = acc / (hp - hm)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("arm_len", "interpret", "max_shift"))
+def oii_hpass_pallas_t(cost, arms_l, arms_r, arm_len: int = 25,
+                       interpret: bool = False, d0=0,
+                       max_shift: int | None = None):
+    """Transposed-schedule twin of oii_hpass_pallas (same normal-layout
+    (D, H, W) API; values bit-identical — only the tap walk changes
+    axis).  Preferred on shapes where H's lane padding does not outgrow
+    W's (see oii_t_profitable); the d0/max_shift contract matches the
+    grid kernel, with no alignment requirement on d0."""
+    D, H, W = cost.shape
+    ms = (D - 1) if max_shift is None else max_shift
+    L = arm_len
+    w_b = max(64, -(-2 * L // 8) * 8)
+    P = -(-ms // 8) * 8
+    H_pad = -(-H // 128) * 128
+    n_x = -(-W // w_b)
+    W_pad = n_x * w_b
+
+    cost_t = jnp.swapaxes(cost, 1, 2)                      # (D, W, H)
+    # Bake the column quirks into zero padding: global column 0 never
+    # contributes (the reference's dropped-first-pixel prefix clamp) and
+    # columns outside [0, W-1] add 0.
+    xs = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+    cost_t = jnp.where(xs == 0, 0.0, cost_t)
+    total = (n_x + 1) * w_b
+    cost_p = jnp.pad(cost_t, [(0, 0), (L, total - W - L),
+                              (0, H_pad - H)])
+    arm_planes = []
+    for arms, lo in ((arms_l, 0), (arms_r, 0)):
+        hm, hp = _arm_planes(arms, lo, lo + 2, -(-H // 8) * 8,
+                             -(-W // 128) * 128)
+        for p in (hm, hp):
+            pt = jnp.swapaxes(p[:H, :W], 0, 1)             # (W, H)
+            arm_planes.append(jnp.pad(
+                jnp.pad(pt, [(P, W_pad - W + 8), (0, 0)], mode="edge"),
+                [(0, 0), (0, H_pad - H)], mode="edge"))
+    hml, hpl, hmr, hpr = arm_planes
+    # Left arms need no shift: drop their pre-pad so x0 indexes directly.
+    hml = hml[P:P + W_pad]
+    hpl = hpl[P:P + W_pad]
+
+    d0_arr = jnp.asarray(d0, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(_oii_h_kernel_t, arm_len=L, w_b=w_b, P=P,
+                               interpret=interpret)
+    cspec = lambda k: pl.BlockSpec((1, w_b, H_pad),
+                                   lambda i, d, k=k: (d, i + k, 0),
+                                   memory_space=pltpu.VMEM)
+    lplane = pl.BlockSpec((w_b, H_pad), lambda i, d: (i, 0),
+                          memory_space=pltpu.VMEM)
+    rplane = pl.BlockSpec((W_pad + P + 8, H_pad), lambda i, d: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_x, D),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, d: (0, 0),
+                         memory_space=pltpu.SMEM),
+            cspec(0), cspec(1),
+            lplane, lplane,
+            rplane, rplane,
+        ],
+        out_specs=pl.BlockSpec((1, w_b, H_pad), lambda i, d: (d, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, W_pad, H_pad), cost.dtype),
+        interpret=interpret,
+    )(d0_arr, cost_p, cost_p, hml, hpl, hmr, hpr)
+    return jnp.swapaxes(out[:, :W, :H], 1, 2)
+
+
+def oii_t_profitable(H: int, W: int) -> bool:
+    """Transposed h-pass wins unless transposition inflates the padded
+    area (tsukuba: H=288 -> 384 lanes vs an exact 384-lane W) or the
+    full arm planes outgrow VMEM (Middlebury-2014 widths)."""
+    m8, m128 = (lambda x: -(-x // 8) * 8), (lambda x: -(-x // 128) * 128)
+    if m8(W) * m128(H) > 1.1 * m8(H) * m128(W):
+        return False
+    arm_bytes = 4 * (m8(W) + 136) * m128(H) * 4
+    return arm_bytes < 9_000_000
+
+
 def cross_aggregate_pallas(cost, arms_l, arms_r, arm_len: int = 25,
                            interpret: bool = False, d0=0):
     """Full adaptive-cross aggregation (h then v pass), Pallas schedule.
 
     Tap order matches ops.cross_aggregate(impl="taps") exactly, so the
     f32 sums are bit-identical to that implementation."""
-    temp = oii_hpass_pallas(cost, arms_l, arms_r, arm_len, interpret, d0)
+    D, H, W = cost.shape
+    if oii_t_profitable(H, W):
+        temp = oii_hpass_pallas_t(cost, arms_l, arms_r, arm_len, interpret,
+                                  d0)
+    else:
+        temp = oii_hpass_pallas(cost, arms_l, arms_r, arm_len, interpret, d0)
     return oii_vpass_pallas(temp, arms_l, arms_r, arm_len, interpret, d0)
 
 

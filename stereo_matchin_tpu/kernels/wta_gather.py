@@ -162,6 +162,102 @@ def _diag_wta_kernel(d1_ref, sc_ref, ct_ref, diag_a, diag_b, c1_ref, c2_ref,
     lax.fori_loop(0, y_block, row, 0)
 
 
+def _two_min_kernel(sc_ref, ct_ref, cost_ref, c1_ref, c2_ref, d_ref, *,
+                    D: int, d_block: int, n_db: int, big: float,
+                    has_pen: bool):
+    """Reference-view penalized two-min over the cost volume, one
+    (row_block, x_block, d_chunk) program.
+
+    Streams each cost block once and forms the WTA_REF regularisation
+    term 0.085*den*|ref - d| in-register — the XLA formulation
+    materialises a full (D, H, W) penalty volume per refinement
+    iteration.  Semantics = ops.two_min_scan exactly: ascending d, ties
+    to the LOWEST d (strict `<` take rule across chunks, first-min
+    within), big-cap + d=0 fallback applied on the last chunk.
+    """
+    dk = pl.program_id(2)
+    is_first = dk == 0
+    is_last = dk == n_db - 1
+    shape = cost_ref.shape              # (d_block, y_b, w_b)
+    d_idx = (lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+             + (dk * d_block).astype(jnp.float32))
+    vals = cost_ref[:]
+    if has_pen:
+        vals = vals + sc_ref[:][None] * jnp.abs(ct_ref[:][None] - d_idx)
+    inf = jnp.float32(jnp.inf)
+    vals = jnp.where(d_idx <= D - 1, vals, inf)          # pad planes
+    c1c = jnp.min(vals, axis=0)
+    dwc = jnp.min(jnp.where(vals == c1c[None], d_idx, inf), axis=0)
+    masked = jnp.where(d_idx == dwc[None], inf, vals)
+    c2c = jnp.min(masked, axis=0)
+
+    c1o, c2o, do = c1_ref[:], c2_ref[:], d_ref[:]
+    take = c1c < c1o                    # strict: earlier chunk keeps ties
+    m_c1 = jnp.where(take, c1c, c1o)
+    m_d = jnp.where(take, dwc, do)
+    loser = jnp.where(take, c1o, c1c)
+    m_c2 = jnp.minimum(jnp.minimum(c2o, c2c), loser)
+    c1r = jnp.where(is_first, c1c, m_c1)
+    c2r = jnp.where(is_first, c2c, m_c2)
+    dr = jnp.where(is_first, dwc, m_d)
+    any_update = c1r < big
+    c1_ref[:] = jnp.where(is_last, jnp.minimum(c1r, big), c1r)
+    c2_ref[:] = jnp.where(
+        is_last, jnp.where(any_update, jnp.minimum(c2r, big), big), c2r)
+    d_ref[:] = jnp.where(is_last, jnp.where(any_update, dr, 0.0), dr)
+
+
+@functools.partial(jax.jit, static_argnames=("big", "interpret"))
+def two_min_pallas(cost, penalty_scale=None, penalty_center=None,
+                   big: float = 1e5, interpret: bool = False):
+    """ops.two_min_scan(cost, penalty_scale*|penalty_center - d|) on TPU:
+    returns (c1, c2, d1[int32]), bit-identical to the XLA scan (the
+    penalty product order matches wta_refined_fast's
+    (penalty*den)*|ref - d|)."""
+    D, H, W = cost.shape
+    w_b = min(-(-W // 128) * 128, 512)
+    n_db = -(-D // 128)
+    per_chunk = -(-D // n_db)
+    d_block = -(-per_chunk // 8) * 8
+    # Cost block (d_block, y_b, w_b) double-buffered within the default
+    # 16 MB scoped VMEM.
+    y_b = min(-(-H // 8) * 8, 64)
+    while 8 * d_block * y_b * w_b > 11_000_000 and y_b > 8:
+        y_b -= 8
+    n_x = -(-W // w_b)
+    n_y = -(-H // y_b)
+    W_pad, H_pad, D_pad = n_x * w_b, n_y * y_b, n_db * d_block
+
+    dt = jnp.float32
+    zeros = jnp.zeros((H, W), dt)
+    has_pen = penalty_scale is not None
+    sc = penalty_scale if has_pen else zeros
+    ct = penalty_center if has_pen else zeros
+    sc = _pad_cols(_pad_rows(sc.astype(dt), H_pad, axis=0), W_pad)
+    ct = _pad_cols(_pad_rows(ct.astype(dt), H_pad, axis=0), W_pad)
+    cost_p = jnp.pad(cost.astype(dt), [(0, D_pad - D), (0, H_pad - H),
+                                       (0, W_pad - W)])
+
+    kernel = functools.partial(_two_min_kernel, D=D, d_block=d_block,
+                               n_db=n_db, big=big, has_pen=has_pen)
+    map_spec = pl.BlockSpec((y_b, w_b), lambda i, jx, dk: (i, jx),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((H_pad, W_pad), dt)
+    c1, c2, d = pl.pallas_call(
+        kernel,
+        grid=(n_y, n_x, n_db),
+        in_specs=[map_spec, map_spec,
+                  pl.BlockSpec((d_block, y_b, w_b),
+                               lambda i, jx, dk: (dk, i, jx),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[map_spec, map_spec, map_spec],
+        out_shape=[out_shape, out_shape, out_shape],
+        interpret=interpret,
+    )(sc, ct, cost_p)
+    crop = lambda a: a[:H, :W]
+    return crop(c1), crop(c2), crop(d).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("big", "interpret"))
 def wta_diag_pallas(diag_hdk, d1, penalty_scale=None, penalty_center=None,
                     big: float = 1e5, interpret: bool = False):

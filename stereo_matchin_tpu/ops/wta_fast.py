@@ -178,11 +178,27 @@ def _tail_and_merge(d1, xs, mc1, mc2, md, base, b0, penalty_scale,
     return d, conf
 
 
+def _two_min(cost, pen_scale=None, pen_center=None, big: float = 1e5):
+    """Reference-view two-min: the TPU path streams the volume through
+    the Pallas kernel and forms the penalty in-register (the XLA form
+    materialises a (D, H, W) penalty volume per refinement iteration);
+    values identical (same (penalty*den)*|ref - d| product order)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        from ..kernels.wta_gather import two_min_pallas
+
+        return two_min_pallas(cost, pen_scale, pen_center, big=big)
+    if pen_scale is None:
+        return two_min_scan(cost, big=big)
+    ds = jnp.arange(cost.shape[0], dtype=cost.dtype)[:, None, None]
+    pen = pen_scale[None] * jnp.abs(pen_center[None] - ds)
+    return two_min_scan(cost, penalty=pen, big=big)
+
+
 def wta_fast(cost, big: float = 1e5, diag=None) -> WTAResult:
     """Drop-in replacement for ops.wta (bit-identical results).
 
     diag: optional precomputed build_diag(cost) (see _target_scan_fast)."""
-    c1, c2, d1 = two_min_scan(cost, big=big)
+    c1, c2, d1 = _two_min(cost, big=big)
     conf_ref = (c2 - c1) / c2
     d_t, conf_t = _target_scan_fast(cost, d1, big=big, diag=diag)
     return WTAResult(d1.astype(cost.dtype), conf_ref,
@@ -196,10 +212,7 @@ def wta_refined_fast(cost, ref_value, ref_denom, ref_value_t, ref_denom_t,
     diag: optional precomputed build_diag(cost) — the k-loop calls this
     on the SAME aggregated volume every iteration, so the caller hoists
     the shear (main.cpp re-reads asw_cost_buffer[1] per launch)."""
-    D = cost.shape[0]
-    ds = jnp.arange(D, dtype=cost.dtype)[:, None, None]
-    pen = penalty * ref_denom[None] * jnp.abs(ref_value[None] - ds)
-    c1, c2, d1 = two_min_scan(cost, penalty=pen, big=big)
+    c1, c2, d1 = _two_min(cost, penalty * ref_denom, ref_value, big=big)
     conf_ref = (c2 - c1) / c2
     d_t, conf_t = _target_scan_fast(
         cost, d1, penalty_scale=penalty * ref_denom_t,

@@ -197,16 +197,22 @@ def _cross_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
             stack_shift_x_offset(arms_r[3], d0, d_local, d_pad, x_axis=1),
             arms_l[3][None])
     if use_pallas:
-        from ..kernels.cross_oii import oii_hpass_pallas, oii_vpass_pallas
+        from ..kernels.cross_oii import (oii_hpass_pallas,
+                                         oii_hpass_pallas_t,
+                                         oii_t_profitable, oii_vpass_pallas)
 
         interp = platform not in ("tpu", "axon")
         # Run the kernels over the padded tile and crop the centre: the
         # kernels combine the per-d arms in-register (d0-offset rolls),
         # and the v kernel's row-quirk masks take global coordinates, so
-        # centre rows are bit-identical to the XLA taps path.
-        temp_pp = oii_hpass_pallas(cost_pad, arms_l_pad, arms_r_pad, L,
-                                   interpret=interp, d0=d0,
-                                   max_shift=d_pad - 1)
+        # centre rows are bit-identical to the XLA taps path.  The h-pass
+        # has no row reach, so the transposed schedule applies per tile
+        # unchanged (bit-identical; chosen by the same shape gate).
+        hpass = (oii_hpass_pallas_t
+                 if oii_t_profitable(cost_pad.shape[1], cost_pad.shape[2])
+                 else oii_hpass_pallas)
+        temp_pp = hpass(cost_pad, arms_l_pad, arms_r_pad, L,
+                        interpret=interp, d0=d0, max_shift=d_pad - 1)
         aggr_pad = oii_vpass_pallas(temp_pp, arms_l_pad, arms_r_pad, L,
                                     interpret=interp, d0=d0,
                                     max_shift=d_pad - 1,

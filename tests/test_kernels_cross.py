@@ -123,3 +123,24 @@ def test_vote_large_disparity_indices(rng):
     np.testing.assert_array_equal(
         np.round(np.asarray(got) * dm).astype(np.int32),
         np.round(np.asarray(want) * dm).astype(np.int32))
+
+
+def test_oii_hpass_transposed_matches_grid(rng):
+    """The transposed-schedule h-pass must be bit-identical to the
+    grid-(row, d) kernel (taps add in the same order; out-of-bound taps
+    add literal 0.0 either way), including with a disparity offset."""
+    from stereo_matchin_tpu.kernels.cross_oii import (oii_hpass_pallas,
+                                                      oii_hpass_pallas_t)
+
+    for (H, W, D, L) in ((24, 20, 8, 3), (40, 150, 7, 25)):
+        cost, arms_l, arms_r = _random_case(rng, H, W, D, L)
+        want = oii_hpass_pallas(cost, arms_l, arms_r, L, interpret=True)
+        got = oii_hpass_pallas_t(cost, arms_l, arms_r, L, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # d0 offset (disp-sharded form), arbitrary (non-multiple-of-8) value
+    cost, arms_l, arms_r = _random_case(rng, 24, 40, 4, 3)
+    want = oii_hpass_pallas(cost, arms_l, arms_r, 3, interpret=True,
+                            d0=jnp.asarray(5), max_shift=8)
+    got = oii_hpass_pallas_t(cost, arms_l, arms_r, 3, interpret=True,
+                             d0=jnp.asarray(5), max_shift=8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -141,3 +141,30 @@ def test_aggregate_backend_equivalence(data):
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), rtol=3e-6, atol=1e-6,
                 err_msg=f"{kw} crop={crop}")
+
+
+@pytest.mark.slow
+def test_full_reference_geometry(data):
+    """Full reference disparity/radius geometry (d_max=60, radius=16):
+    exercises the 96-sublane block, all 8 residue classes with multi-k
+    fori bodies, and the real shift range (geometry-dependent Mosaic
+    bugs — lane padding, window sizing — have bitten before)."""
+    D61, R16, Hs, Ws = 61, 16, 64, 200
+    rng = np.random.default_rng(5)
+    left = jnp.asarray((rng.integers(0, 256, (Hs, Ws, 3)) /
+                        np.float32(255.0)).astype(np.float32))
+    right = jnp.roll(left, -7, axis=1)
+    cost = ops.sad_cost_volume(left, right, D61, 255.0)
+    wl = ops.support_weights(left, R16, 30.91, 28.21, 0)
+    wr = ops.support_weights(right, R16, 30.91, 28.21, 0)
+    want, _ = ops.asw_aggregate_pass(cost, wl, wr, axis=1, radius=R16)
+    got = asw_vpass_dres(_tr(cost), _tr(wl), _tr(wr), R16, interpret=True)
+    np.testing.assert_allclose(np.asarray(_tr(got)), np.asarray(want),
+                               rtol=3e-6, atol=1e-6)
+    wlh = ops.support_weights(left, R16, 30.91, 28.21, 1)
+    wrh = ops.support_weights(right, R16, 30.91, 28.21, 1)
+    want_h, _ = ops.asw_aggregate_pass(cost, wlh, wrh, axis=2, radius=R16)
+    got_h = asw_hpass_dres(_tr(cost), _tr(wlh), _tr(wrh), R16,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(_tr(got_h)), np.asarray(want_h),
+                               rtol=3e-6, atol=1e-6)

@@ -104,3 +104,47 @@ def test_wta_fast_accepts_hoisted_diag(rng):
     b = ops.wta_fast(cost, big=BIG, diag=build_diag(cost))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_two_min_pallas_matches_scan():
+    """Streaming two-min kernel vs ops.two_min_scan: plain, penalized,
+    tie-heavy, and all-big inputs (d=0/big-cap fallback), at a
+    non-dividing geometry."""
+    from stereo_matchin_tpu import ops
+    from stereo_matchin_tpu.kernels.wta_gather import two_min_pallas
+
+    rng = np.random.default_rng(3)
+    D2, H2, W2 = 13, 21, 150
+    cost = rng.uniform(0, 900, (D2, H2, W2)).astype(np.float32)
+    # force exact ties between planes at some pixels
+    cost[5, ::3, ::5] = cost[9, ::3, ::5]
+    # some pixels where nothing beats big
+    cost[:, 0, :7] = 2e5
+    val = rng.uniform(0, 12, (H2, W2)).astype(np.float32)
+    den = rng.uniform(0, 2, (H2, W2)).astype(np.float32)
+    c = jnp.asarray(cost)
+
+    want = ops.two_min_scan(c, big=1e5)
+    got = two_min_pallas(c, big=1e5, interpret=True)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    ds = jnp.arange(D2, dtype=jnp.float32)[:, None, None]
+    sc = jnp.asarray(0.085 * den)
+    ct = jnp.asarray(val)
+    pen = sc[None] * jnp.abs(ct[None] - ds)
+    want = ops.two_min_scan(c, penalty=pen, big=1e5)
+    got = two_min_pallas(c, sc, ct, big=1e5, interpret=True)
+    # Penalized values carry the documented 1-ulp FMA-contraction drift
+    # (cost + sc*|ct-d| may or may not fuse per program); winner flips
+    # are only possible at sub-ulp near-ties.
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=3e-6, atol=0)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               rtol=3e-6, atol=0)
+    d_w, d_g = np.asarray(want[2]), np.asarray(got[2])
+    flipped = d_w != d_g
+    if flipped.any():
+        gap = np.abs(np.asarray(want[0]) - np.asarray(want[1]))
+        rel = gap[flipped] / np.abs(np.asarray(want[0])[flipped])
+        assert rel.max() < 3e-6, "winner flipped at a non-tie pixel"
