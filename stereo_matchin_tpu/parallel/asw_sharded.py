@@ -92,7 +92,39 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
     # in a TPU-attached process would otherwise try to Mosaic-compile.
     use_pallas = cfg.kernels == "pallas" or (
         cfg.kernels == "auto" and platform in ("tpu", "axon"))
-    if use_pallas:
+    use_dres = False
+    if use_pallas and cfg.aggr_kernels != "grid" and d_local % 8 == 0:
+        # The disparity-resident kernels' aligned-slice decomposition
+        # needs every shard's d0 = shard * d_local to be a multiple of 8.
+        from ..kernels.asw_aggregation_dres import dres_vmem_fits
+
+        use_dres = dres_vmem_fits(d_local, H_loc + 2 * R, R)
+    if use_dres:
+        from ..kernels.asw_aggregation_dres import (asw_hpass_dres,
+                                                    asw_vpass_dres)
+
+        interp = platform not in ("tpu", "axon")
+        tr = lambda a: jnp.swapaxes(a, 1, 2)
+        # Transposed weight strips; v-pass weights also cover the halo
+        # rows (lane dim in this layout — values there only feed outputs
+        # that are cropped; edge values keep row clamping consistent).
+        wv_l_t = jnp.pad(tr(wv_l), [(0, 0), (0, 0), (R, R)], mode="edge")
+        wv_r_t = jnp.pad(tr(wv_r), [(0, 0), (0, 0), (R, R)], mode="edge")
+        wh_l_t, wh_r_t = tr(wh_l), tr(wh_r)
+
+        def aggr_body(c, _):
+            # carry the volume transposed (D, W, H_loc): the row halo is
+            # the lane axis here.
+            c_pad, _ = exchange_halo(c, R, AXIS_ROW, axis=2)
+            full = asw_vpass_dres(c_pad, wv_l_t, wv_r_t, R, cfg.eps,
+                                  interpret=interp, d0=d0,
+                                  max_shift=d_pad - 1)
+            cv = full[:, :, R:R + H_loc]
+            ch = asw_hpass_dres(cv, wh_l_t, wh_r_t, R, cfg.eps,
+                                interpret=interp, d0=d0,
+                                max_shift=d_pad - 1)
+            return ch, None
+    elif use_pallas:
         from ..kernels.asw_aggregation import (asw_hpass_pallas,
                                                asw_vpass_pallas)
 
@@ -125,7 +157,12 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
                                         R, cfg.eps)
             return ch, None
 
-    aggr, _ = lax.scan(aggr_body, cost0, None, length=cfg.r_iters)
+    if use_dres:
+        aggr_t, _ = lax.scan(aggr_body, jnp.swapaxes(cost0, 1, 2), None,
+                             length=cfg.r_iters)
+        aggr = jnp.swapaxes(aggr_t, 1, 2)
+    else:
+        aggr, _ = lax.scan(aggr_body, cost0, None, length=cfg.r_iters)
     aggr = jnp.where(pad_mask, cfg.big, aggr)
 
     res = wta_sharded(aggr, d0, d_local, d_pad, AXIS_DISP, big=cfg.big)
