@@ -21,6 +21,13 @@ sums; integer-identical vote counts).  What changes is the schedule:
     d-shifted right arms, oii_hcross.cl:25-31) are recomputed in-register
     from a `pltpu.roll` lane rotate instead of materialising four
     (D, H, W) arm volumes in HBM;
+  * the horizontal pass has a TRANSPOSED (D, W, H) twin
+    (oii_hpass_pallas_t, chosen by shape via oii_t_profitable): its taps
+    walk x as SUBLANE static slices — a per-tap lane roll costs ~2x the
+    add work on this part — the column quirks are baked into zero
+    padding (masked taps add literal 0.0, so sums stay bit-identical),
+    and the per-d right-arm shift is an aligned dynamic sublane slice +
+    a small residue roll amortised over all 51 taps;
   * the vote's horizontal pass is a one-hot matmul on the MXU: per image
     row, the one-hot disparity indicator B[d, c] contracts with a banded
     clamp-count matrix A[c, x] (how many taps of pixel x's arm span land
