@@ -29,10 +29,14 @@ def _config_from_args(args):
     from .config import StereoConfig
 
     kw = {}
-    for f in ("d_max", "radius", "arm_len", "r_iters", "k_iters"):
+    for f in ("d_max", "radius", "arm_len", "r_iters", "k_iters",
+              "aggr_d_chunks"):
         v = getattr(args, f, None)
         if v is not None:
             kw[f] = v
+    v = getattr(args, "aggr_kernels", None)
+    if v is not None:
+        kw["aggr_kernels"] = v
     return StereoConfig(**kw)
 
 
@@ -127,8 +131,12 @@ def main(argv=None) -> int:
                        help="registered pair names (default: tsukuba)")
         p.add_argument("--method", choices=["both", "cross", "asw"],
                        default="both")
-        for f in ("d_max", "radius", "arm_len", "r_iters", "k_iters"):
+        for f in ("d_max", "radius", "arm_len", "r_iters", "k_iters",
+                  "aggr_d_chunks"):
             p.add_argument(f"--{f}", type=int, default=None)
+        p.add_argument("--aggr_kernels", choices=["auto", "dres", "grid"],
+                       default=None,
+                       help="ASW aggregation kernel family (default auto)")
 
     p_run = sub.add_parser("run", help="run pipelines, write PNG artifacts")
     common(p_run)
