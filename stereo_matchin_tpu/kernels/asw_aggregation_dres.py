@@ -358,6 +358,62 @@ def asw_vpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
     return out[:, :W, :H]
 
 
+@functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret",
+                                             "max_shift"))
+def asw_vpass_dres_win(cost_win, wl_t, wr_t, radius: int, eps: float = 1e-5,
+                       interpret: bool = False, d0=0, den=None,
+                       max_shift: int | None = None):
+    """Windowed vertical pass for the wavefront band driver
+    (models/wavefront.py).
+
+    `cost_win` is (D, W, H_out + 2*radius): the caller supplies REAL
+    margin rows (the previous band's carried strip + the current band's
+    freshly computed rows) instead of the edge-clamp padding
+    asw_vpass_dres applies, and receives only the window's H_out centre
+    rows back.  `wl_t`/`wr_t`/`den` cover exactly those H_out output
+    rows.  Same kernel body (_v_kernel), same tap expression and order —
+    bit-identical to the full-frame pass on the same rows.
+    """
+    D, W, Hw = cost_win.shape
+    T = 2 * radius + 1
+    H_out = Hw - 2 * radius
+    if wl_t.shape[2] != H_out:
+        raise ValueError(
+            f"weights cover {wl_t.shape[2]} rows, window implies {H_out}")
+    ms = (D - 1) if max_shift is None else max_shift
+    w_b = _w_block(radius, D, H_out)
+    if w_b is None:
+        raise ValueError(
+            f"dres kernels do not fit VMEM at D={D}, H={H_out}, "
+            f"radius={radius}; gate with dres_vmem_fits()")
+    if den is None:
+        den = asw_den_dres(wl_t, wr_t, radius, eps, interpret, d0,
+                           num_disp=D, max_shift=ms)
+    wl, wru, H_pad, P, n_x, W_pad = _prep(wl_t, wr_t, D, w_b, d0, ms)
+    HL = _mult(T - 1 + H_pad, 128)
+    cost_p = jnp.pad(cost_win, [(0, 0), (0, W_pad - W), (0, HL - Hw)],
+                     mode="edge")
+    den_p = jnp.pad(den, [(0, 0), (0, W_pad - W), (0, H_pad - H_out)],
+                    mode="edge")
+    out = pl.pallas_call(
+        functools.partial(_v_kernel, radius=radius, eps=eps, w_b=w_b,
+                          P=P, D=D, H_out=H_pad),
+        grid=(n_x,),
+        in_specs=[
+            pl.BlockSpec((T, w_b, H_pad), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, T, w_b + P + 8, H_pad), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((D, w_b, HL), lambda i: (0, i, 0)),
+            pl.BlockSpec((D, w_b, H_pad), lambda i: (0, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((D, w_b, H_pad), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((D, W_pad, H_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((T, P + w_b, H_pad), jnp.float32)],
+        interpret=interpret,
+        **_params(interpret),
+    )(wl, wru, cost_p, den_p)
+    return out[:, :W, :H_out]
+
+
 def asw_aggregate_dres(cost_t, wv_l_t, wv_r_t, wh_l_t, wh_r_t, radius: int,
                        r_iters: int, eps: float = 1e-5,
                        interpret: bool = False):

@@ -294,10 +294,20 @@ def asw_pipeline_impl(left: jax.Array, right: jax.Array,
     computed from the PRE-crop images: computed post-crop they would be
     wrong within radius of the cut, widening the contaminated margin past
     k*radius + 1 into the kept rows."""
-    R, D = cfg.radius, cfg.num_disp
-    c_top, c_bot = crop
-
     aggr = _aggregate(left, right, cfg, crop)
+    return asw_postaggregate_impl(aggr, left, right, cfg, crop)
+
+
+def asw_postaggregate_impl(aggr: jax.Array, left: jax.Array,
+                           right: jax.Array, cfg: StereoConfig,
+                           crop: tuple = (0, 0)) -> ASWResult:
+    """Everything after aggregation: WTA -> consistency -> k refinement
+    iterations -> median (main.cpp:516-614).  `aggr` is the (D, H', W)
+    aggregated volume with `crop` rows already shed relative to the
+    (H, W, 3) images — the factored tail shared by asw_pipeline_impl and
+    the wavefront band driver (models/wavefront.py)."""
+    R = cfg.radius
+    c_top, c_bot = crop
 
     # Refinement support weights from the RAW images, refinement gammas —
     # computed before any crop (see docstring), cropped alongside it.

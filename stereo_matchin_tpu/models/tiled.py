@@ -91,9 +91,24 @@ def _asw_band_jit(l, r, cfg, crop):
     return {"disparity": res.disparity, "filled": res.filled}
 
 
-def asw_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int):
+def asw_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int,
+                       wavefront: str | bool = "auto"):
     """Banded ASW run; returns (disparity, filled) maps, identical to the
-    full-image asw_pipeline outputs."""
+    full-image asw_pipeline outputs.
+
+    wavefront: "auto" routes to the strip-carrying wavefront driver
+    (models/wavefront.py — no halo recompute) whenever its kernel and
+    band-geometry constraints hold; True forces it (raising when
+    unsupported); False forces the plain halo-recompute band loop."""
+    if wavefront in ("auto", True):
+        from . import wavefront as wf
+
+        if wf.wavefront_supported(left.shape, cfg, num_bands):
+            return wf.asw_pipeline_wavefront(left, right, cfg, num_bands)
+        if wavefront is True:
+            raise ValueError(
+                "wavefront=True but the wavefront band layout is "
+                "unsupported at this geometry/config")
     reach = asw_reach(cfg)
     # Aggregation needs the full halo; everything after it reaches only
     # k*radius + 1 rows, so the pipeline sheds the difference per side

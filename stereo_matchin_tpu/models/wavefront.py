@@ -1,0 +1,367 @@
+"""Wavefront band pipeline: bigger-than-HBM frames WITHOUT halo recompute.
+
+The plain band driver (models/tiled.py) recomputes the full vertical
+influence halo — (r + k + 1)·R + 1 rows per side, ~1.8× redundant
+aggregation work at Middlebury-2014 geometry (BASELINE configs[3]).  But
+the expensive phase, the r×(vertical→horizontal) aggregation ladder
+(`asw_vcost_aggregation.cl` / `asw_hcost_aggregation.cl`, the reference's
+94% hot loop), has a vertical reach of exactly R rows PER LEVEL: band b
+can hand band b+1
+
+  * a 2R-row strip of every intermediate level's output (levels 1..r-1),
+  * a 2·keep-row strip of the final aggregated volume
+    (keep = k·R + 1, the post-aggregation influence radius),
+
+and every aggregation row is then computed exactly ONCE across the whole
+frame — the sequential single-chip analogue of the row-sharded multi-chip
+pipeline's ppermute halo exchange (parallel/asw_sharded.py), with HBM
+strips standing in for ICI transfers.
+
+Band layout (kept rows [s, e), N = e - s, lo_i = s + keep + (r - i)·R):
+
+  level i output window   [lo_i, lo_i + N)           — N rows per level
+  level i input           [lo_i - R, lo_i + N + R)   — 2R-row strip from
+                                                       the previous band
+                                                       + level i-1's rows
+  level r (aggregated)    [s + keep, e + keep)       — + the previous
+                                                       band's 2·keep strip
+                                                       = [s - keep, e + keep)
+
+The first band runs the plain full-window ladder from the frame top
+(there is nothing above to reuse) and captures the strips; the last
+band's windows extend past the frame bottom, where rows are materialised
+as row-(H-1) replicas — exactly the reference kernels' clamp-at-border
+reads — and discarded.  Values are bit-identical to the full-frame run:
+each row is produced by the same kernel expression either way (pinned by
+tests/test_wavefront.py).
+
+Requires the disparity-resident Pallas kernels
+(kernels/asw_aggregation_dres.py); callers gate with
+`wavefront_supported` and fall back to models/tiled.py otherwise.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import ops
+from ..config import StereoConfig
+from ..utils.profiling import device_sync
+from .asw import _chunk_geometry, _use_pallas, asw_postaggregate_impl
+
+
+@dataclass(frozen=True)
+class _Geom:
+    """Static per-band geometry, in absolute frame rows."""
+    s: int       # first kept row
+    e: int       # one past last kept row
+    g0: int      # image slice start
+    g1: int      # image slice end
+    H: int       # frame height
+    first: bool
+    last: bool
+
+
+def _keep(cfg: StereoConfig) -> int:
+    return cfg.k_iters * cfg.radius + 1
+
+
+def plan_bands(H: int, num_bands: int, cfg: StereoConfig):
+    """Band geometries, or None when the wavefront layout's constraints
+    don't hold (bands too short for the strips / replica validity)."""
+    R, r, keep = cfg.radius, cfg.r_iters, _keep(cfg)
+    if num_bands < 2 or H < 2 * num_bands:
+        return None
+    band = math.ceil(H / num_bands)
+    # N >= 2*keep: the aggregated strip comes from this band's level-r
+    # rows.  N >= keep + (r-1)*R + 1: every level window starts at a real
+    # row (lo_1 <= H-1), so frame-bottom replicas have a source.
+    n_min = max(2 * keep, keep + (r - 1) * R + 1, 2 * R)
+    edges = list(range(0, H, band)) + [H]
+    geoms = []
+    for i in range(len(edges) - 1):
+        s, e = edges[i], edges[i + 1]
+        first, last = i == 0, i == len(edges) - 2
+        if not first and (e - s < n_min or s - keep - R < 0):
+            return None
+        if not last and e + keep > H:
+            return None
+        g0 = 0 if first else s - keep - R
+        g1 = min(H, e + keep + r * R)
+        geoms.append(_Geom(s, e, g0, g1, H, first, last))
+    return geoms if len(geoms) >= 2 else None
+
+
+def wavefront_supported(left_shape, cfg: StereoConfig, num_bands: int,
+                        interpret: bool = False) -> bool:
+    from ..kernels.asw_aggregation_dres import dres_vmem_fits
+
+    if not (interpret or _use_pallas(cfg)) or cfg.aggr_kernels == "grid":
+        return False
+    H, W = left_shape[:2]
+    geoms = plan_bands(H, num_bands, cfg)
+    if geoms is None:
+        return False
+    chunk, _ = _chunk_geometry(cfg.num_disp, max(cfg.aggr_d_chunks, 1),
+                               mult=8)
+    rows = max(g.g1 - g.g0 for g in geoms)
+    return dres_vmem_fits(chunk, rows, cfg.radius)
+
+
+def _weights_t(lt, rt, cfg: StereoConfig):
+    """The four transposed support-weight strips (T, W, Hs) — axis
+    conventions as models/asw._aggregate_dres."""
+    R = cfg.radius
+    return (ops.support_weights(lt, R, cfg.gamma_c, cfg.gamma_p, axis=1),
+            ops.support_weights(rt, R, cfg.gamma_c, cfg.gamma_p, axis=1),
+            ops.support_weights(lt, R, cfg.gamma_c, cfg.gamma_p, axis=0),
+            ops.support_weights(rt, R, cfg.gamma_c, cfg.gamma_p, axis=0))
+
+
+def _cost_images(lt, rt, Dp: int):
+    l3 = jnp.moveaxis(lt, -1, 0) * 255.0                  # (3, W, Hs)
+    ext = jnp.pad(jnp.moveaxis(rt, -1, 0) * 255.0,
+                  [(0, 0), (Dp - 1, 0), (0, 0)], mode="edge")
+    return l3, ext
+
+
+def _cost_chunk(l3, ext, d0, chunk: int, Dp: int, W: int):
+    """SAD chunk in the transposed layout (chunk, W, Hs) — cost.py
+    semantics, identical to models/asw._aggregate_dres's."""
+    planes = []
+    for dd in range(chunk):
+        sl = lax.dynamic_slice_in_dim(ext, Dp - 1 - (d0 + dd), W, axis=1)
+        t = jnp.abs(l3 - sl)
+        planes.append((t[0] + t[1]) + t[2])
+    return jnp.stack(planes)
+
+
+def _rows(arr, a: int, b: int, g0: int, g1: int):
+    """Rows [a, b) in absolute coordinates of a slice-anchored (..., Hs)
+    array; rows at/past the slice end are edge replicas (only reachable
+    when g1 == H — the frame-bottom clamp of the reference kernels)."""
+    real = lax.slice_in_dim(arr, a - g0, min(b, g1) - g0, axis=arr.ndim - 1)
+    if b > g1:
+        real = jnp.pad(real, [(0, 0)] * (arr.ndim - 1) + [(0, b - g1)],
+                       mode="edge")
+    return real
+
+
+def _first_aggregate(lt, rt, cfg: StereoConfig, geom: _Geom,
+                     interpret: bool):
+    """Plain full-window ladder from the frame top + strip capture.
+
+    Identical schedule to models/asw._aggregate_dres (chunked branch);
+    additionally captures, per level j, the 2R rows [hi_j - 2R, hi_j)
+    (hi_j = e + keep + (r - j)·R) and the aggregated 2·keep strip."""
+    from ..kernels.asw_aggregation_dres import (asw_den_dres,
+                                                asw_hpass_dres,
+                                                asw_vpass_dres)
+
+    R, D, r = cfg.radius, cfg.num_disp, cfg.r_iters
+    keep = _keep(cfg)
+    W, Hs = lt.shape[:2]
+    e0 = geom.e
+    chunk, n_eff = _chunk_geometry(D, max(cfg.aggr_d_chunks, 1), mult=8)
+    Dp = chunk * n_eff
+    ms = Dp - 1
+    wv_l, wv_r, wh_l, wh_r = _weights_t(lt, rt, cfg)
+    l3, ext = _cost_images(lt, rt, Dp)
+    # plan_bands guarantees hi_j = e0 + keep + (r-j)*R < Hs for every
+    # level (the next band's windows start at real rows), so the capture
+    # slices never clamp.
+    assert e0 + keep + (r - 1) * R <= Hs
+    cap_off = jnp.asarray(
+        [e0 + keep + (r - j) * R - 2 * R for j in range(1, r + 1)],
+        jnp.int32)
+
+    def body(carry, d0):
+        acc, strips_acc, astrip_acc = carry
+        den_v = asw_den_dres(wv_l, wv_r, R, cfg.eps, interpret, d0=d0,
+                             num_disp=chunk, max_shift=ms)
+        den_h = asw_den_dres(wh_l, wh_r, R, cfg.eps, interpret, d0=d0,
+                             num_disp=chunk, max_shift=ms)
+
+        def rbody(c, off):
+            cv = asw_vpass_dres(c, wv_l, wv_r, R, cfg.eps, interpret,
+                                d0=d0, den=den_v, max_shift=ms)
+            ch = asw_hpass_dres(cv, wh_l, wh_r, R, cfg.eps, interpret,
+                                d0=d0, den=den_h, max_shift=ms)
+            return ch, lax.dynamic_slice_in_dim(ch, off, 2 * R, axis=2)
+
+        cost = _cost_chunk(l3, ext, d0, chunk, Dp, W)
+        cagg, strips = lax.scan(rbody, cost, cap_off)
+        acc = lax.dynamic_update_slice(
+            acc, lax.slice_in_dim(cagg, 0, e0 + keep, axis=2), (d0, 0, 0))
+        astrip_acc = lax.dynamic_update_slice(
+            astrip_acc, lax.slice_in_dim(cagg, e0 - keep, e0 + keep, axis=2),
+            (d0, 0, 0))
+        if r > 1:
+            strips_acc = lax.dynamic_update_slice(
+                strips_acc, strips[:r - 1], (0, d0, 0, 0))
+        return (acc, strips_acc, astrip_acc), None
+
+    acc0 = jnp.zeros((Dp, W, e0 + keep), jnp.float32)
+    strips0 = jnp.zeros((max(r - 1, 1), Dp, W, 2 * R), jnp.float32)
+    astrip0 = jnp.zeros((Dp, W, 2 * keep), jnp.float32)
+    offsets = jnp.arange(n_eff, dtype=jnp.int32) * chunk
+    (acc, strips, astrip), _ = lax.scan(
+        body, (acc0, strips0, astrip0), offsets)
+    return jnp.swapaxes(acc[:D], 1, 2), strips, astrip
+
+
+def _wave_aggregate(lt, rt, strips_in, astrip_in, cfg: StereoConfig,
+                    geom: _Geom, interpret: bool):
+    """Wavefront ladder for an interior/last band: every level computes
+    exactly N = e - s fresh rows, seeded by the previous band's strips."""
+    from ..kernels.asw_aggregation_dres import (asw_den_dres,
+                                                asw_hpass_dres,
+                                                asw_vpass_dres_win)
+
+    R, D, r = cfg.radius, cfg.num_disp, cfg.r_iters
+    keep = _keep(cfg)
+    W, Hs = lt.shape[:2]
+    s, e, g0, g1, H = geom.s, geom.e, geom.g0, geom.g1, geom.H
+    N = e - s
+    chunk, n_eff = _chunk_geometry(D, max(cfg.aggr_d_chunks, 1), mult=8)
+    Dp = chunk * n_eff
+    ms = Dp - 1
+    wv_l, wv_r, wh_l, wh_r = _weights_t(lt, rt, cfg)
+    l3, ext = _cost_images(lt, rt, Dp)
+    emit = not geom.last
+    lo = [None] + [s + keep + (r - i) * R for i in range(1, r + 1)]
+    n_agg = min(e + keep, H) - (s + keep)   # fresh aggregated rows
+
+    def fix_bottom(lvl, i):
+        """Replace rows at/past the frame bottom with row-(H-1) replicas —
+        the clamp value every downstream read of them must see."""
+        over = lo[i] + N - H
+        if over <= 0:
+            return lvl
+        real = lax.slice_in_dim(lvl, 0, N - over, axis=2)
+        return jnp.pad(real, [(0, 0), (0, 0), (0, over)], mode="edge")
+
+    def body(carry, d0):
+        acc, strips_acc, astrip_acc = carry
+        den_v = asw_den_dres(wv_l, wv_r, R, cfg.eps, interpret, d0=d0,
+                             num_disp=chunk, max_shift=ms)
+        den_h = asw_den_dres(wh_l, wh_r, R, cfg.eps, interpret, d0=d0,
+                             num_disp=chunk, max_shift=ms)
+
+        # Level 0 (SAD cost) over level 1's input window — recomputed from
+        # the images (3 FLOPs/element; not worth a strip).
+        lvl = _rows(_cost_chunk(l3, ext, d0, chunk, Dp, W),
+                    lo[1] - R, lo[1] + N + R, g0, g1)
+        for i in range(1, r + 1):
+            if i > 1:
+                strip = lax.dynamic_slice(
+                    strips_in, (i - 2, d0, 0, 0),
+                    (1, chunk, W, 2 * R))[0]            # [lo_i - R, lo_i + R)
+                lvl = jnp.concatenate([strip, lvl], axis=2)
+            wv_l_s = _rows(wv_l, lo[i], lo[i] + N, g0, g1)
+            wv_r_s = _rows(wv_r, lo[i], lo[i] + N, g0, g1)
+            den_v_s = _rows(den_v, lo[i], lo[i] + N, g0, g1)
+            v = asw_vpass_dres_win(lvl, wv_l_s, wv_r_s, R, cfg.eps,
+                                   interpret, d0=d0, den=den_v_s,
+                                   max_shift=ms)
+            wh_l_s = _rows(wh_l, lo[i], lo[i] + N, g0, g1)
+            wh_r_s = _rows(wh_r, lo[i], lo[i] + N, g0, g1)
+            den_h_s = _rows(den_h, lo[i], lo[i] + N, g0, g1)
+            lvl = asw_hpass_dres(v, wh_l_s, wh_r_s, R, cfg.eps, interpret,
+                                 d0=d0, den=den_h_s, max_shift=ms)
+            lvl = fix_bottom(lvl, i)
+            if emit and i < r:
+                strips_acc = lax.dynamic_update_slice(
+                    strips_acc, lvl[None, :, :, N - 2 * R:],
+                    (i - 1, d0, 0, 0))
+        acc = lax.dynamic_update_slice(
+            acc, lax.slice_in_dim(lvl, 0, n_agg, axis=2), (d0, 0, 0))
+        if emit:
+            astrip_acc = lax.dynamic_update_slice(
+                astrip_acc, lvl[:, :, N - 2 * keep:], (d0, 0, 0))
+        return (acc, strips_acc, astrip_acc), None
+
+    acc0 = jnp.zeros((Dp, W, n_agg), jnp.float32)
+    strips0 = jnp.zeros((max(r - 1, 1), Dp, W, 2 * R) if emit else (1, 1, 1, 1),
+                        jnp.float32)
+    astrip0 = jnp.zeros((Dp, W, 2 * keep) if emit else (1, 1, 1),
+                        jnp.float32)
+    offsets = jnp.arange(n_eff, dtype=jnp.int32) * chunk
+    (acc, strips, astrip), _ = lax.scan(
+        body, (acc0, strips0, astrip0), offsets)
+    # Prepend the previous band's aggregated strip: rows [s - keep, s + keep).
+    aggr_t = jnp.concatenate([astrip_in, acc], axis=2)[:D]
+    return jnp.swapaxes(aggr_t, 1, 2), strips, astrip
+
+
+def _tail(aggr, l, r, cfg: StereoConfig, geom: _Geom):
+    lo = 0 if geom.first else geom.s - _keep(cfg)
+    hi = min(geom.e + _keep(cfg), geom.H)
+    res = asw_postaggregate_impl(aggr, l, r, cfg,
+                                 (lo - geom.g0, geom.g1 - hi))
+    return {"disparity": res.disparity, "filled": res.filled}
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _first_band(l, r, cfg, geom, interpret):
+    lt, rt = jnp.swapaxes(l, 0, 1), jnp.swapaxes(r, 0, 1)
+    aggr, strips, astrip = _first_aggregate(lt, rt, cfg, geom, interpret)
+    return _tail(aggr, l, r, cfg, geom), strips, astrip
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(2, 3))
+def _mid_band(l, r, strips, astrip, cfg, geom, interpret):
+    lt, rt = jnp.swapaxes(l, 0, 1), jnp.swapaxes(r, 0, 1)
+    aggr, strips_out, astrip_out = _wave_aggregate(
+        lt, rt, strips, astrip, cfg, geom, interpret)
+    return _tail(aggr, l, r, cfg, geom), strips_out, astrip_out
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(2, 3))
+def _last_band(l, r, strips, astrip, cfg, geom, interpret):
+    lt, rt = jnp.swapaxes(l, 0, 1), jnp.swapaxes(r, 0, 1)
+    aggr, _, _ = _wave_aggregate(lt, rt, strips, astrip, cfg, geom,
+                                 interpret)
+    return _tail(aggr, l, r, cfg, geom)
+
+
+def asw_pipeline_wavefront(left, right, cfg: StereoConfig, num_bands: int,
+                           interpret: bool = False):
+    """Banded ASW run with inter-band strip carry; returns
+    (disparity, filled), bit-identical to the full-frame asw_pipeline on
+    the dres kernels.  Bands are synced before the next dispatch for the
+    same reason as models/tiled._run_banded (bounding live HBM)."""
+    H = left.shape[0]
+    keep = _keep(cfg)
+    geoms = plan_bands(H, num_bands, cfg)
+    if geoms is None:
+        raise ValueError(
+            f"wavefront band layout unsupported at H={H}, "
+            f"num_bands={num_bands} (bands shorter than the strip "
+            f"windows); use models/tiled.asw_pipeline_tiled")
+    pieces = []
+    strips = astrip = None
+    for g in geoms:
+        l_sl, r_sl = left[g.g0:g.g1], right[g.g0:g.g1]
+        if g.first:
+            out, strips, astrip = _first_band(l_sl, r_sl, cfg, g, interpret)
+        elif g.last:
+            out = _last_band(l_sl, r_sl, strips, astrip, cfg, g, interpret)
+            strips = astrip = None
+        else:
+            out, strips, astrip = _mid_band(l_sl, r_sl, strips, astrip,
+                                            cfg, g, interpret)
+        off = g.s - (0 if g.first else g.s - keep)
+        piece = {k: lax.slice_in_dim(v, off, off + (g.e - g.s), axis=0)
+                 for k, v in out.items()}
+        device_sync(piece["disparity"])
+        pieces.append(piece)
+    disp = jnp.concatenate([p["disparity"] for p in pieces], axis=0)
+    filled = jnp.concatenate([p["filled"] for p in pieces], axis=0)
+    return disp, filled

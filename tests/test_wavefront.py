@@ -1,0 +1,81 @@
+"""Wavefront-banded vs full-frame equality (models/wavefront.py).
+
+The wavefront driver must be bit-identical to the full-frame run on the
+same (dres) kernels: every aggregation row is computed exactly once, by
+the same kernel expression, on either path.  Runs the Pallas kernels in
+interpret mode on CPU.
+"""
+
+from functools import partial
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stereo_matchin_tpu import StereoConfig
+from stereo_matchin_tpu.models.asw import (_aggregate_dres,
+                                           asw_postaggregate_impl)
+from stereo_matchin_tpu.models.wavefront import (asw_pipeline_wavefront,
+                                                 plan_bands,
+                                                 wavefront_supported)
+
+# keep = k*R + 1 = 5; strip windows need bands >= 10 rows.
+CFG = StereoConfig(d_max=11, radius=2, arm_len=3, r_iters=3, k_iters=2,
+                   aggr_d_chunks=2, kernels="pallas")
+
+
+@pytest.fixture(scope="module")
+def pair():
+    rng = np.random.default_rng(7)
+    left = (rng.integers(0, 256, (48, 32, 3)) / np.float32(255.0)).astype(
+        np.float32)
+    right = np.roll(left, -2, axis=1)
+    noise = rng.integers(-12, 13, right.shape) / np.float32(255.0)
+    right = np.clip(np.round((right + noise) * 255) / 255.0, 0, 1).astype(
+        np.float32)
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+@partial(jax.jit, static_argnums=2)
+def _full_dres(left, right, cfg):
+    aggr = _aggregate_dres(left, right, cfg, (0, 0), interpret=True)
+    res = asw_postaggregate_impl(aggr, left, right, cfg)
+    return res.disparity, res.filled
+
+
+@pytest.mark.parametrize("bands", [2, 3])
+def test_wavefront_matches_full(pair, bands):
+    left, right = pair
+    assert wavefront_supported(left.shape, CFG, bands, interpret=True)
+    disp_f, filled_f = _full_dres(left, right, CFG)
+    disp, filled = asw_pipeline_wavefront(left, right, CFG, bands,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(disp), np.asarray(disp_f))
+    np.testing.assert_array_equal(np.asarray(filled), np.asarray(filled_f))
+
+
+def test_wavefront_non_dividing_last_band(pair):
+    """H=44: last band is shorter (12 rows) but still >= the strip window."""
+    left, right = pair
+    left, right = left[:44], right[:44]
+    assert plan_bands(44, 3, CFG) is not None
+    disp_f, filled_f = _full_dres(left, right, CFG)
+    disp, filled = asw_pipeline_wavefront(left, right, CFG, 3,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(disp), np.asarray(disp_f))
+    np.testing.assert_array_equal(np.asarray(filled), np.asarray(filled_f))
+
+
+def test_plan_rejects_short_bands():
+    # 6-row bands are shorter than the 2*keep strip window.
+    assert plan_bands(48, 8, CFG) is None
+    # A single band is not a banded run.
+    assert plan_bands(48, 1, CFG) is None
+
+
+def test_unsupported_on_grid_kernels(pair):
+    assert not wavefront_supported(pair[0].shape,
+                                   CFG.replace(aggr_kernels="grid"), 2,
+                                   interpret=True)
