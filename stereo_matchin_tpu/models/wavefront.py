@@ -232,11 +232,17 @@ def _wave_aggregate(lt, rt, strips_in, astrip_in, cfg: StereoConfig,
     chunk, n_eff = _chunk_geometry(D, max(cfg.aggr_d_chunks, 1), mult=8)
     Dp = chunk * n_eff
     ms = Dp - 1
-    wv_l, wv_r, wh_l, wh_r = _weights_t(lt, rt, cfg)
-    l3, ext = _cost_images(lt, rt, Dp)
     emit = not geom.last
     lo = [None] + [s + keep + (r - i) * R for i in range(1, r + 1)]
     n_agg = min(e + keep, H) - (s + keep)   # fresh aggregated rows
+    # The aggregation ladder never touches rows above lo_r - R = wg0: trim
+    # the weight strips (and the cost images) there before the chunk scan
+    # so the scan body's live set excludes the 2*keep tail-only rows of
+    # the band slice (HBM headroom at Middlebury-2014 geometry).
+    wg0 = s + keep - R
+    wv_l, wv_r, wh_l, wh_r = (
+        _rows(w, wg0, g1, g0, g1) for w in _weights_t(lt, rt, cfg))
+    l3, ext = _cost_images(lt[:, wg0 - g0:], rt[:, wg0 - g0:], Dp)
 
     def fix_bottom(lvl, i):
         """Replace rows at/past the frame bottom with row-(H-1) replicas —
@@ -257,22 +263,22 @@ def _wave_aggregate(lt, rt, strips_in, astrip_in, cfg: StereoConfig,
         # Level 0 (SAD cost) over level 1's input window — recomputed from
         # the images (3 FLOPs/element; not worth a strip).
         lvl = _rows(_cost_chunk(l3, ext, d0, chunk, Dp, W),
-                    lo[1] - R, lo[1] + N + R, g0, g1)
+                    lo[1] - R, lo[1] + N + R, wg0, g1)
         for i in range(1, r + 1):
             if i > 1:
                 strip = lax.dynamic_slice(
                     strips_in, (i - 2, d0, 0, 0),
                     (1, chunk, W, 2 * R))[0]            # [lo_i - R, lo_i + R)
                 lvl = jnp.concatenate([strip, lvl], axis=2)
-            wv_l_s = _rows(wv_l, lo[i], lo[i] + N, g0, g1)
-            wv_r_s = _rows(wv_r, lo[i], lo[i] + N, g0, g1)
-            den_v_s = _rows(den_v, lo[i], lo[i] + N, g0, g1)
+            wv_l_s = _rows(wv_l, lo[i], lo[i] + N, wg0, g1)
+            wv_r_s = _rows(wv_r, lo[i], lo[i] + N, wg0, g1)
+            den_v_s = _rows(den_v, lo[i], lo[i] + N, wg0, g1)
             v = asw_vpass_dres_win(lvl, wv_l_s, wv_r_s, R, cfg.eps,
                                    interpret, d0=d0, den=den_v_s,
                                    max_shift=ms)
-            wh_l_s = _rows(wh_l, lo[i], lo[i] + N, g0, g1)
-            wh_r_s = _rows(wh_r, lo[i], lo[i] + N, g0, g1)
-            den_h_s = _rows(den_h, lo[i], lo[i] + N, g0, g1)
+            wh_l_s = _rows(wh_l, lo[i], lo[i] + N, wg0, g1)
+            wh_r_s = _rows(wh_r, lo[i], lo[i] + N, wg0, g1)
+            den_h_s = _rows(den_h, lo[i], lo[i] + N, wg0, g1)
             lvl = asw_hpass_dres(v, wh_l_s, wh_r_s, R, cfg.eps, interpret,
                                  d0=d0, den=den_h_s, max_shift=ms)
             lvl = fix_bottom(lvl, i)
