@@ -124,33 +124,64 @@ def bench_pair(method: str, pair: str, cfg, runs: int, batch: int = 0):
 
 
 def bench_config3_band(runs: int = 2):
-    """BASELINE config 3 (Middlebury-2014 geometry: 2880x1988, 280 disp)
-    through the band-tiled ASW driver on a synthetic pair.  Times the
-    steady-state per-band rate (a full-frame run is ~the same rate x all
-    bands; the one-shot full run is recorded in PARITY.md)."""
+    """BASELINE config 3 (Middlebury-2014 geometry: 2880x1988, 280 disp),
+    steady-state band rate of the wavefront driver (models/wavefront.py):
+    an interior band is timed with each call's strip outputs fed back as
+    the next call's inputs — exactly the steady full-frame work, since
+    the wavefront computes every aggregation row exactly once (no
+    halo-recompute discount needed).  Falls back to the plain halo-
+    recompute band driver when the wavefront layout is unsupported."""
     import jax.numpy as jnp
 
     from stereo_matchin_tpu import REFERENCE_CONFIG
-    from stereo_matchin_tpu.models import asw as asw_mod
+    from stereo_matchin_tpu.models import wavefront as wf
     from stereo_matchin_tpu.models.tiled import asw_reach
+    from stereo_matchin_tpu.utils.profiling import device_sync
 
     cfg = REFERENCE_CONFIG.replace(d_max=279, aggr_d_chunks=8)
     W, H = 2880, 1988
-    reach = asw_reach(cfg)
-    band_rows = 512                     # kept rows per band (HBM-bound:
-    rows = band_rows + 2 * reach        # larger bands amortise the 450
-    #                                     halo rows; disparity-chunked
-    #                                     aggregation + the post-
-    #                                     aggregation crop bound the live
-    #                                     (280, rows, 2944) volumes; 8
-    #                                     chunks of 40 planes fit the
-    #                                     dres kernels' VMEM estimate.
-    #                                     Measured: 192 rows unchunked
-    #                                     44 Mdisp/s; 512/4ch grid 70.1;
-    #                                     512/8ch dres 131.6; 768 rows
-    #                                     OOMs HBM)
-    crop = reach - (cfg.k_iters * cfg.radius + 1)   # shed mid-pipeline
+    num_bands = 5            # 398 kept rows/band: the wavefront makes
+    #                          extra bands nearly free (+2R rows each),
+    #                          and 497-row bands' mid program plans past
+    #                          the 16 GB HBM ceiling.
     rng = np.random.default_rng(0)
+
+    if wf.wavefront_supported((H, W, 3), cfg, num_bands):
+        geoms = wf.plan_bands(H, num_bands, cfg)
+        g = geoms[1]                                  # interior band
+        rows = g.g1 - g.g0
+        base = rng.random((rows, W, 3), dtype=np.float32)
+        left = jnp.asarray(base)
+        right = jnp.asarray(np.roll(base, 17, axis=1))
+        r, R, keep = cfg.r_iters, cfg.radius, cfg.k_iters * cfg.radius + 1
+        chunk, n_eff = wf._chunk_geometry(cfg.num_disp, cfg.aggr_d_chunks,
+                                          mult=8)
+        Dp = chunk * n_eff
+        strips = jnp.zeros((max(r - 1, 1), Dp, W, 2 * R), jnp.float32)
+        astrip = jnp.zeros((Dp, W, 2 * keep), jnp.float32)
+
+        def block(n, strips, astrip):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out, strips, astrip = wf._mid_band(left, right, strips,
+                                                   astrip, cfg, g, False)
+            device_sync(out["disparity"])
+            return time.perf_counter() - t0, strips, astrip
+
+        _, strips, astrip = block(1, strips, astrip)  # warmup/compile
+        n1, n2 = 2, 2 + max(runs * 2, 4)
+        t1, strips, astrip = block(n1, strips, astrip)
+        t2, strips, astrip = block(n2, strips, astrip)
+        best = (t2 - t1) / (n2 - n1)
+        return (g.e - g.s) * W * cfg.num_disp / best / 1e6
+
+    # Fallback: plain halo-recompute band (pre-wavefront scheme).
+    from stereo_matchin_tpu.models import asw as asw_mod
+
+    reach = asw_reach(cfg)
+    band_rows = 512
+    rows = band_rows + 2 * reach
+    crop = reach - (cfg.k_iters * cfg.radius + 1)   # shed mid-pipeline
     base = rng.random((rows, W, 3), dtype=np.float32)
     left = jnp.asarray(base)
     right = jnp.asarray(np.roll(base, 17, axis=1))

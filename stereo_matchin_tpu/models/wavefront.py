@@ -240,18 +240,32 @@ def _wave_aggregate(lt, rt, strips_in, astrip_in, cfg: StereoConfig,
     # so the scan body's live set excludes the 2*keep tail-only rows of
     # the band slice (HBM headroom at Middlebury-2014 geometry).
     wg0 = s + keep - R
+    # Weight strips (and the dens derived from them) are padded to the
+    # maximal level-slice extent N + r*R with edge replicas — when g1
+    # clamps at the frame bottom those replicas ARE the reference
+    # kernels' clamp-at-H-1 reads (only garbage output rows consume
+    # them).  This keeps every per-level slice a fixed-size
+    # dynamic_slice, so levels 2..r roll into one lax.scan body (an
+    # unrolled ladder made the XLA program huge).
+    wlen = N + r * R
     wv_l, wv_r, wh_l, wh_r = (
-        _rows(w, wg0, g1, g0, g1) for w in _weights_t(lt, rt, cfg))
+        _rows(w, wg0, wg0 + wlen, g0, g1) for w in _weights_t(lt, rt, cfg))
     l3, ext = _cost_images(lt[:, wg0 - g0:], rt[:, wg0 - g0:], Dp)
+    # Level-slice offsets into the trimmed strips: lo_i - wg0 = (r-i+1)*R.
+    offs = jnp.asarray([(r - i + 1) * R for i in range(2, r + 1)], jnp.int32)
+    lims = jnp.asarray([H - lo[i] for i in range(2, r + 1)], jnp.int32)
+    # Statically no level window crosses the frame bottom on an interior
+    # band (hi_1 <= H by plan_bands); only the last band traces the fix.
+    overflow = lo[1] + N > H
 
-    def fix_bottom(lvl, i):
-        """Replace rows at/past the frame bottom with row-(H-1) replicas —
-        the clamp value every downstream read of them must see."""
-        over = lo[i] + N - H
-        if over <= 0:
+    def fix_bottom_dyn(lvl, lim):
+        """Rows at/past the frame bottom become row-(H-1) replicas — the
+        clamp value every downstream read of them must see."""
+        if not overflow:
             return lvl
-        real = lax.slice_in_dim(lvl, 0, N - over, axis=2)
-        return jnp.pad(real, [(0, 0), (0, 0), (0, over)], mode="edge")
+        rep = lax.dynamic_slice_in_dim(
+            lvl, jnp.clip(lim - 1, 0, N - 1), 1, axis=2)
+        return jnp.where(jnp.arange(N, dtype=jnp.int32) < lim, lvl, rep)
 
     def body(carry, d0):
         acc, strips_acc, astrip_acc = carry
@@ -260,32 +274,41 @@ def _wave_aggregate(lt, rt, strips_in, astrip_in, cfg: StereoConfig,
         den_h = asw_den_dres(wh_l, wh_r, R, cfg.eps, interpret, d0=d0,
                              num_disp=chunk, max_shift=ms)
 
-        # Level 0 (SAD cost) over level 1's input window — recomputed from
-        # the images (3 FLOPs/element; not worth a strip).
-        lvl = _rows(_cost_chunk(l3, ext, d0, chunk, Dp, W),
-                    lo[1] - R, lo[1] + N + R, wg0, g1)
-        for i in range(1, r + 1):
-            if i > 1:
-                strip = lax.dynamic_slice(
-                    strips_in, (i - 2, d0, 0, 0),
-                    (1, chunk, W, 2 * R))[0]            # [lo_i - R, lo_i + R)
-                lvl = jnp.concatenate([strip, lvl], axis=2)
-            wv_l_s = _rows(wv_l, lo[i], lo[i] + N, wg0, g1)
-            wv_r_s = _rows(wv_r, lo[i], lo[i] + N, wg0, g1)
-            den_v_s = _rows(den_v, lo[i], lo[i] + N, wg0, g1)
-            v = asw_vpass_dres_win(lvl, wv_l_s, wv_r_s, R, cfg.eps,
-                                   interpret, d0=d0, den=den_v_s,
+        def run_level(inp, off, lim):
+            sl = lambda a: lax.dynamic_slice_in_dim(a, off, N, axis=2)
+            v = asw_vpass_dres_win(inp, sl(wv_l), sl(wv_r), R, cfg.eps,
+                                   interpret, d0=d0, den=sl(den_v),
                                    max_shift=ms)
-            wh_l_s = _rows(wh_l, lo[i], lo[i] + N, wg0, g1)
-            wh_r_s = _rows(wh_r, lo[i], lo[i] + N, wg0, g1)
-            den_h_s = _rows(den_h, lo[i], lo[i] + N, wg0, g1)
-            lvl = asw_hpass_dres(v, wh_l_s, wh_r_s, R, cfg.eps, interpret,
-                                 d0=d0, den=den_h_s, max_shift=ms)
-            lvl = fix_bottom(lvl, i)
-            if emit and i < r:
+            out = asw_hpass_dres(v, sl(wh_l), sl(wh_r), R, cfg.eps,
+                                 interpret, d0=d0, den=sl(den_h),
+                                 max_shift=ms)
+            return fix_bottom_dyn(out, lim)
+
+        # Level 0 (SAD cost) over level 1's input window — recomputed from
+        # the images (3 FLOPs/element; not worth a strip); level 1 peeled
+        # (its input is the cost window, not a strip + previous level).
+        cost = _rows(_cost_chunk(l3, ext, d0, chunk, Dp, W),
+                     lo[1] - R, lo[1] + N + R, wg0, g1)
+        lvl1 = run_level(cost, r * R, H - lo[1])
+
+        def level(lvl, x):
+            strip, off, lim = x                       # [lo_i - R, lo_i + R)
+            out = run_level(jnp.concatenate([strip, lvl], axis=2), off, lim)
+            return out, out[:, :, N - 2 * R:]
+
+        if r > 1:
+            strips_chunk = lax.dynamic_slice(
+                strips_in, (0, d0, 0, 0), (r - 1, chunk, W, 2 * R))
+            lvl, tails = lax.scan(level, lvl1, (strips_chunk, offs, lims))
+            if emit:
+                # Emitted strips are levels 1..r-1: level 1's tail plus
+                # the scan's outputs for levels 2..r-1.
+                out_strips = jnp.concatenate(
+                    [lvl1[None, :, :, N - 2 * R:], tails[:r - 2]])
                 strips_acc = lax.dynamic_update_slice(
-                    strips_acc, lvl[None, :, :, N - 2 * R:],
-                    (i - 1, d0, 0, 0))
+                    strips_acc, out_strips, (0, d0, 0, 0))
+        else:
+            lvl = lvl1
         acc = lax.dynamic_update_slice(
             acc, lax.slice_in_dim(lvl, 0, n_agg, axis=2), (d0, 0, 0))
         if emit:
