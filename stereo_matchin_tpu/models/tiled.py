@@ -128,8 +128,15 @@ def asw_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int,
     return out["disparity"], out["filled"]
 
 
-def cross_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int):
+def cross_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int,
+                         wavefront: str | bool = "auto"):
     """Banded cross-method run; returns (initial, final) maps.
+
+    wavefront: "auto" routes to the strip-carrying wavefront driver
+    (models/wavefront_cross.py — no halo recompute) whenever the band
+    geometry supports the strips; True forces it; False forces the plain
+    halo-recompute band loop.  Both force translation-invariant OII
+    semantics (taps/pallas), like this driver always has.
 
     Forces a translation-invariant OII implementation — the prefix
     integral images are not (column cumsums start at the band top), which
@@ -139,6 +146,15 @@ def cross_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int):
     influence halo that the band driver crops, so banded == full for the
     kept rows; "pallas" is the TPU path, "taps" elsewhere.
     """
+    if wavefront in ("auto", True):
+        from . import wavefront_cross as wfc
+
+        if wfc.cross_wavefront_supported(left.shape, cfg, num_bands):
+            return wfc.cross_pipeline_wavefront(left, right, cfg, num_bands)
+        if wavefront is True:
+            raise ValueError(
+                "wavefront=True but the cross wavefront band layout is "
+                "unsupported at this geometry/config")
     if cfg.oii_impl in ("auto", "prefix"):
         impl = ("pallas" if jax.default_backend() in ("tpu", "axon")
                 else "taps")

@@ -79,3 +79,65 @@ def test_unsupported_on_grid_kernels(pair):
     assert not wavefront_supported(pair[0].shape,
                                    CFG.replace(aggr_kernels="grid"), 2,
                                    interpret=True)
+
+
+# --- cross method ---------------------------------------------------------
+
+from stereo_matchin_tpu.models import cross_based
+from stereo_matchin_tpu.models.wavefront_cross import (
+    cross_pipeline_wavefront, cross_wavefront_supported, plan_bands_cross)
+
+CROSS_CFG = StereoConfig(d_max=7, radius=2, arm_len=3, r_iters=2, k_iters=2)
+
+
+@pytest.fixture(scope="module")
+def cross_pair():
+    rng = np.random.default_rng(21)
+    left = (rng.integers(0, 256, (96, 40, 3)) / np.float32(255.0)).astype(
+        np.float32)
+    right = np.roll(left, -2, axis=1)
+    noise = rng.integers(-10, 11, right.shape) / np.float32(255.0)
+    right = np.clip(np.round((right + noise) * 255) / 255.0, 0, 1).astype(
+        np.float32)
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+@pytest.mark.parametrize("bands", [2, 3, 5])
+def test_cross_wavefront_matches_full_taps(cross_pair, bands):
+    left, right = cross_pair
+    cfg = CROSS_CFG.replace(oii_impl="taps")
+    assert cross_wavefront_supported(left.shape, cfg, bands)
+    full = cross_based.cross_pipeline(left, right, cfg)
+    initial, final = cross_pipeline_wavefront(left, right, cfg, bands)
+    np.testing.assert_array_equal(np.asarray(initial),
+                                  np.asarray(full.initial))
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(full.final))
+
+
+def test_cross_wavefront_interpret_matches_taps(cross_pair):
+    """Pallas kernels (interpret mode) through the wavefront == the taps
+    full-frame run (the kernels are bit-identical to taps)."""
+    left, right = cross_pair
+    cfg = CROSS_CFG.replace(oii_impl="taps")
+    full = cross_based.cross_pipeline(left, right, cfg)
+    initial, final = cross_pipeline_wavefront(left, right, cfg, 3,
+                                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(initial),
+                                  np.asarray(full.initial))
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(full.final))
+
+
+def test_cross_wavefront_non_dividing_last_band(cross_pair):
+    left, right = cross_pair
+    left, right = left[:91], right[:91]
+    cfg = CROSS_CFG.replace(oii_impl="taps")
+    assert plan_bands_cross(91, 4, cfg) is not None
+    full = cross_based.cross_pipeline(left, right, cfg)
+    initial, final = cross_pipeline_wavefront(left, right, cfg, 4)
+    np.testing.assert_array_equal(np.asarray(initial),
+                                  np.asarray(full.initial))
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(full.final))
+
+
+def test_cross_plan_rejects_short_bands():
+    assert plan_bands_cross(96, 16, CROSS_CFG) is None
