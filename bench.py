@@ -193,6 +193,47 @@ def bench_config3_band(runs: int = 2):
     return band_rows * W * cfg.num_disp / best / 1e6
 
 
+def bench_config3_cross(runs: int = 2):
+    """BASELINE config 3 through the cross-method wavefront driver
+    (models/wavefront_cross.py): steady interior-band rate with strip
+    outputs chained back as inputs (every volume-stage row computed
+    exactly once — no halo-recompute discount needed)."""
+    import jax.numpy as jnp
+
+    from stereo_matchin_tpu import REFERENCE_CONFIG
+    from stereo_matchin_tpu.models import wavefront_cross as wfc
+    from stereo_matchin_tpu.utils.profiling import device_sync
+
+    cfg = REFERENCE_CONFIG.replace(d_max=279)
+    W, H = 2880, 1988
+    num_bands = 4
+    geoms = wfc.plan_bands_cross(H, num_bands, cfg)
+    g = geoms[1]
+    rows = g.g1 - g.g0
+    rng = np.random.default_rng(0)
+    base = rng.random((rows, W, 3), dtype=np.float32)
+    left = jnp.asarray(base)
+    right = jnp.asarray(np.roll(base, 17, axis=1))
+    L, D = cfg.arm_len, cfg.num_disp
+    strips = {"temp": jnp.zeros((D, 2 * L, W), jnp.float32),
+              "initial": jnp.zeros((2 * L, W), jnp.float32),
+              "voted": jnp.zeros((2, W), jnp.float32)}
+
+    def block(n, strips):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out, strips = wfc._mid_band_c(left, right, strips, cfg, g, False)
+        device_sync(out["final"])
+        return time.perf_counter() - t0, strips
+
+    _, strips = block(1, strips)                      # warmup/compile
+    n1, n2 = 2, 2 + max(runs * 2, 4)
+    t1, strips = block(n1, strips)
+    t2, strips = block(n2, strips)
+    best = (t2 - t1) / (n2 - n1)
+    return (g.e - g.s) * W * cfg.num_disp / best / 1e6
+
+
 def bench_scaling_subprocess():
     """Weak-scaling on the 8-virtual-device CPU mesh, in a subprocess (the
     parent owns the TPU backend; backends are per-process)."""
@@ -295,6 +336,15 @@ def main() -> int:
         print(json.dumps({"metric": "config3_band_2880x1988_280d_throughput",
                           "value": None, "unit": "Mdisp/s",
                           "error": repr(e)[:200]}), flush=True)
+    try:
+        b = bench_config3_cross()
+        # 91.5 Mdisp/s = the GTX 860M's cross-method rate (BASELINE.md).
+        emit("config3_cross_band_2880x1988_280d_throughput", b, b / 91.5)
+    except Exception as e:  # noqa: BLE001 — bench must report what it can
+        print(json.dumps(
+            {"metric": "config3_cross_band_2880x1988_280d_throughput",
+             "value": None, "unit": "Mdisp/s", "error": repr(e)[:200]}),
+            flush=True)
 
     try:
         rep = bench_scaling_subprocess()
