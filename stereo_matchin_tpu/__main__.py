@@ -65,21 +65,38 @@ def cmd_run(args) -> int:
         right = jnp.asarray(png.read_rgb(pair.right))
         t0 = time.perf_counter()
         if args.method in ("both", "cross"):
-            res = cross_based.cross_pipeline(left, right, cfg)
+            if args.bands > 1:
+                from .models.tiled import cross_pipeline_tiled
+
+                initial, final = cross_pipeline_tiled(left, right, cfg,
+                                                      args.bands)
+            else:
+                res = cross_based.cross_pipeline(left, right, cfg)
+                initial, final = res.initial, res.final
+                png.write_rgb(os.path.join(out_dir, "median.png"),
+                              np.asarray(res.median_left))
             png.write_gray(os.path.join(out_dir, "cross_based_initial.png"),
-                           np.asarray(res.initial))
+                           np.asarray(initial))
             png.write_gray(os.path.join(out_dir, "cross_based_disparity.png"),
-                           np.asarray(res.final))
-            png.write_rgb(os.path.join(out_dir, "median.png"),
-                          np.asarray(res.median_left))
+                           np.asarray(final))
         if args.method in ("both", "asw"):
-            res = asw.asw_pipeline(left, right, cfg)
-            png.write_gray(os.path.join(out_dir, "asw_disparity.png"),
-                           np.asarray(res.disparity))
-            png.write_rgb(os.path.join(out_dir, "asw_consistency_pre-reff.png"),
-                          np.asarray(res.consistency_pre))
-            png.write_rgb(os.path.join(out_dir, "asw_consistency_post-reff.png"),
-                          np.asarray(res.consistency_post))
+            if args.bands > 1:
+                from .models.tiled import asw_pipeline_tiled
+
+                disparity, _ = asw_pipeline_tiled(left, right, cfg,
+                                                  args.bands)
+                png.write_gray(os.path.join(out_dir, "asw_disparity.png"),
+                               np.asarray(disparity))
+            else:
+                res = asw.asw_pipeline(left, right, cfg)
+                png.write_gray(os.path.join(out_dir, "asw_disparity.png"),
+                               np.asarray(res.disparity))
+                png.write_rgb(
+                    os.path.join(out_dir, "asw_consistency_pre-reff.png"),
+                    np.asarray(res.consistency_pre))
+                png.write_rgb(
+                    os.path.join(out_dir, "asw_consistency_post-reff.png"),
+                    np.asarray(res.consistency_post))
         print(f"{pair.name}: artifacts in {out_dir} "
               f"({time.perf_counter() - t0:.2f}s incl. compile)")
     return 0
@@ -143,6 +160,11 @@ def main(argv=None) -> int:
     p_run.add_argument("--pics", default=None,
                        help="reference-format pics.txt with pair paths")
     p_run.add_argument("--out", default="out")
+    p_run.add_argument("--bands", type=int, default=1,
+                       help="row-band tiling for frames whose cost volume "
+                            "exceeds HBM (wavefront strip-carry when "
+                            "supported, halo bands otherwise); disparity "
+                            "maps only")
     p_run.set_defaults(fn=cmd_run)
 
     p_bench = sub.add_parser("bench", help="per-stage TSV benchmark")
