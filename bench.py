@@ -285,6 +285,25 @@ def main() -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Fail fast instead of hanging forever if the TPU relay is
+        # wedged (a dead client's device grant can block every new
+        # claim; observed once after a mid-compile SIGKILL).  The tiny
+        # op runs in a subprocess so a hung claim can be timed out.
+        code = ("import jax.numpy as jnp;"
+                "print(float(jnp.sum(jnp.ones((128, 128)))))")
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=600)
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print(json.dumps({"metric": "asw_tsukuba_throughput",
+                              "value": None, "unit": "Mdisp/s",
+                              "error": "TPU backend unreachable (relay "
+                                       "claim timed out)"}), flush=True)
+            return 1
 
     from stereo_matchin_tpu import REFERENCE_CONFIG as cfg
 
