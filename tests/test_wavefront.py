@@ -141,3 +141,17 @@ def test_cross_wavefront_non_dividing_last_band(cross_pair):
 
 def test_cross_plan_rejects_short_bands():
     assert plan_bands_cross(96, 16, CROSS_CFG) is None
+
+
+def test_wavefront_single_chunk_and_r1(pair):
+    """aggr_d_chunks=0 (one padded chunk) and r_iters=1 (no level strips
+    consumed) both flow through the wavefront unchanged."""
+    left, right = pair
+    for cfg in (CFG.replace(aggr_d_chunks=0),
+                CFG.replace(r_iters=1, aggr_d_chunks=0)):
+        disp_f, filled_f = _full_dres(left, right, cfg)
+        disp, filled = asw_pipeline_wavefront(left, right, cfg, 3,
+                                              interpret=True)
+        np.testing.assert_array_equal(np.asarray(disp), np.asarray(disp_f))
+        np.testing.assert_array_equal(np.asarray(filled),
+                                      np.asarray(filled_f))
