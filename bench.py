@@ -123,7 +123,9 @@ def bench_pair(method: str, pair: str, cfg, runs: int, batch: int = 0):
             frames * W * H * cfg.num_disp / mean / 1e6)
 
 
-def bench_config3_band(runs: int = 2):
+def bench_config3_band(runs: int = 2, W: int = 2880, H: int = 1988,
+                       cfg=None, num_bands: int = 5, band_rows: int = 512,
+                       interpret: bool = False):
     """BASELINE config 3 (Middlebury-2014 geometry: 2880x1988, 280 disp),
     steady-state band rate of the wavefront driver (models/wavefront.py):
     an interior band is timed with each call's strip outputs fed back as
@@ -138,15 +140,14 @@ def bench_config3_band(runs: int = 2):
     from stereo_matchin_tpu.models.tiled import asw_reach
     from stereo_matchin_tpu.utils.profiling import device_sync
 
-    cfg = REFERENCE_CONFIG.replace(d_max=279, aggr_d_chunks=8)
-    W, H = 2880, 1988
-    num_bands = 5            # 398 kept rows/band: the wavefront makes
-    #                          extra bands nearly free (+2R rows each),
-    #                          and 497-row bands' mid program plans past
-    #                          the 16 GB HBM ceiling.
+    # Default: 5 bands of 398 kept rows — the wavefront makes extra
+    # bands nearly free (+2R rows each), and 497-row bands' mid program
+    # plans past the 16 GB HBM ceiling.
+    if cfg is None:
+        cfg = REFERENCE_CONFIG.replace(d_max=279, aggr_d_chunks=8)
     rng = np.random.default_rng(0)
 
-    if wf.wavefront_supported((H, W, 3), cfg, num_bands):
+    if wf.wavefront_supported((H, W, 3), cfg, num_bands, interpret):
         geoms = wf.plan_bands(H, num_bands, cfg)
         g = geoms[1]                                  # interior band
         rows = g.g1 - g.g0
@@ -164,7 +165,8 @@ def bench_config3_band(runs: int = 2):
             t0 = time.perf_counter()
             for _ in range(n):
                 out, strips, astrip = wf._mid_band(left, right, strips,
-                                                   astrip, cfg, g, False)
+                                                   astrip, cfg, g,
+                                                   interpret)
             device_sync(out["disparity"])
             return time.perf_counter() - t0, strips, astrip
 
@@ -179,7 +181,7 @@ def bench_config3_band(runs: int = 2):
     from stereo_matchin_tpu.models import asw as asw_mod
 
     reach = asw_reach(cfg)
-    band_rows = 512
+    band_rows = min(band_rows, H)
     rows = band_rows + 2 * reach
     crop = reach - (cfg.k_iters * cfg.radius + 1)   # shed mid-pipeline
     base = rng.random((rows, W, 3), dtype=np.float32)
@@ -193,7 +195,9 @@ def bench_config3_band(runs: int = 2):
     return band_rows * W * cfg.num_disp / best / 1e6
 
 
-def bench_config3_cross(runs: int = 2):
+def bench_config3_cross(runs: int = 2, W: int = 2880, H: int = 1988,
+                        cfg=None, num_bands: int = 4,
+                        interpret: bool = False):
     """BASELINE config 3 through the cross-method wavefront driver
     (models/wavefront_cross.py): steady interior-band rate with strip
     outputs chained back as inputs (every volume-stage row computed
@@ -204,9 +208,8 @@ def bench_config3_cross(runs: int = 2):
     from stereo_matchin_tpu.models import wavefront_cross as wfc
     from stereo_matchin_tpu.utils.profiling import device_sync
 
-    cfg = REFERENCE_CONFIG.replace(d_max=279)
-    W, H = 2880, 1988
-    num_bands = 4
+    if cfg is None:
+        cfg = REFERENCE_CONFIG.replace(d_max=279)
     geoms = wfc.plan_bands_cross(H, num_bands, cfg)
     g = geoms[1]
     rows = g.g1 - g.g0
@@ -222,7 +225,8 @@ def bench_config3_cross(runs: int = 2):
     def block(n, strips):
         t0 = time.perf_counter()
         for _ in range(n):
-            out, strips = wfc._mid_band_c(left, right, strips, cfg, g, False)
+            out, strips = wfc._mid_band_c(left, right, strips, cfg, g,
+                                          interpret)
         device_sync(out["final"])
         return time.perf_counter() - t0, strips
 
