@@ -112,16 +112,53 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def _parse_gt_args(entries):
+    """--gt entries are '<pair>=<path>' (or a bare path for a single pair)."""
+    gt = {}
+    for e in entries or []:
+        name, sep, path = e.partition("=")
+        if not sep:
+            gt[None] = e  # bare path: applies to the sole --pairs entry
+        else:
+            gt[name] = path
+    return gt
+
+
 def cmd_eval(args) -> int:
     import jax.numpy as jnp
 
-    from .eval import compare_to_golden
+    from .eval import bad_pixel_pct, compare_to_golden
     from .io import load_pair
+    from .io.groundtruth import read_groundtruth
     from .models import asw, cross_based
 
     cfg = _config_from_args(args)
+    gt_by_pair = _parse_gt_args(args.gt)
+    names = args.pairs or ["tsukuba"]
+    if None in gt_by_pair:
+        if len(names) != 1:
+            print("--gt without '<pair>=' needs exactly one --pairs entry",
+                  file=sys.stderr)
+            return 2
+        gt_by_pair[names[0]] = gt_by_pair.pop(None)
     failed = False
-    for name in args.pairs or ["tsukuba"]:
+
+    def score_gt(name, label, img01):
+        gt_path = gt_by_pair.get(name)
+        if gt_path is None:
+            return
+        gt, valid = read_groundtruth(gt_path, scale=args.gt_scale)
+        got = np.asarray(img01, np.float64) * cfg.d_max
+        if got.shape != gt.shape:
+            print(f"{name}/{label}: GT shape {gt.shape} != map {got.shape}",
+                  file=sys.stderr)
+            return
+        b1 = bad_pixel_pct(got, gt, threshold=1.0, mask=valid)
+        b2 = bad_pixel_pct(got, gt, threshold=2.0, mask=valid)
+        print(f"{name}/{label} vs GT: bad1={b1:.2f}% bad2={b2:.2f}% "
+              f"(valid {valid.mean() * 100:.1f}%)")
+
+    for name in names:
         left, right = map(jnp.asarray, load_pair(name))
         if args.method in ("both", "cross"):
             res = cross_based.cross_pipeline(left, right, cfg)
@@ -130,12 +167,14 @@ def cmd_eval(args) -> int:
                 c = compare_to_golden(np.asarray(img), name, art, cfg.d_max)
                 print(f"{name}/{art}: {c}")
                 failed |= c.bad2_pct > 1.0
+            score_gt(name, "cross_based_disparity", res.final)
         if args.method in ("both", "asw"):
             res = asw.asw_pipeline(left, right, cfg)
             c = compare_to_golden(np.asarray(res.disparity), name,
                                   "asw_disparity.png", cfg.d_max)
             print(f"{name}/asw_disparity.png: {c}")
             failed |= c.bad2_pct > 1.0
+            score_gt(name, "asw_disparity", res.disparity)
     return 1 if failed else 0
 
 
@@ -175,6 +214,12 @@ def main(argv=None) -> int:
 
     p_eval = sub.add_parser("eval", help="compare outputs to goldens")
     common(p_eval)
+    p_eval.add_argument("--gt", nargs="*", default=None, metavar="PAIR=PATH",
+                        help="ground-truth disparity files (.pfm/.pgm/.png); "
+                             "bad-pixel rates are printed per final map")
+    p_eval.add_argument("--gt-scale", type=float, default=None,
+                        help="stored-value-per-disparity override "
+                             "(defaults: pfm 1, pgm 16, png 4)")
     p_eval.set_defaults(fn=cmd_eval)
 
     args = ap.parse_args(argv)

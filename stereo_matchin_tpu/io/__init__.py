@@ -1,6 +1,6 @@
 """Image I/O and dataset registry (replaces lodepng + pics.txt)."""
 
-from . import png
+from . import groundtruth, png
 from .datasets import BENCH_PAIRS, REGISTRY, StereoPair, get_pair, load_pair, parse_pics_txt
 
 __all__ = [
@@ -8,6 +8,7 @@ __all__ = [
     "REGISTRY",
     "StereoPair",
     "get_pair",
+    "groundtruth",
     "load_pair",
     "parse_pics_txt",
     "png",
