@@ -56,13 +56,26 @@ def cmd_run(args) -> int:
     from .models import asw, cross_based
 
     cfg = _config_from_args(args)
-    for pair in _resolve_pairs(args):
+    pairs = _resolve_pairs(args)
+    # Prefetch-decode the next pair on a worker thread while the device
+    # computes the current one (the reference decodes synchronously on
+    # the host thread, main.cpp:184-186).  The loader lives in the
+    # native runtime package; fall back to inline decode without it.
+    try:
+        from runtime.loader import PairLoader
+
+        decoded = iter(PairLoader([(p.left, p.right) for p in pairs],
+                                  depth=2))
+    except ImportError:
+        decoded = ((png.read_rgb(p.left), png.read_rgb(p.right))
+                   for p in pairs)
+    for pair, (left_np, right_np) in zip(pairs, decoded):
         # Never let a pair name escape --out (absolute paths / parents).
         from .io.datasets import safe_pair_name
         out_dir = os.path.join(args.out, safe_pair_name(pair.name))
         os.makedirs(out_dir, exist_ok=True)
-        left = jnp.asarray(png.read_rgb(pair.left))
-        right = jnp.asarray(png.read_rgb(pair.right))
+        left = jnp.asarray(left_np)
+        right = jnp.asarray(right_np)
         t0 = time.perf_counter()
         if args.method in ("both", "cross"):
             if args.bands > 1:
