@@ -76,13 +76,18 @@ def cmd_run(args) -> int:
         os.makedirs(out_dir, exist_ok=True)
         left = jnp.asarray(left_np)
         right = jnp.asarray(right_np)
+        bands = args.bands
+        if bands == 0:  # auto: from the HBM-fit estimate
+            from .models.tiled import auto_bands
+            bands = auto_bands(left.shape, cfg)
+            print(f"{pair.name}: auto bands -> {bands}")
         t0 = time.perf_counter()
         if args.method in ("both", "cross"):
-            if args.bands > 1:
+            if bands > 1:
                 from .models.tiled import cross_pipeline_tiled
 
                 initial, final = cross_pipeline_tiled(left, right, cfg,
-                                                      args.bands)
+                                                      bands)
             else:
                 res = cross_based.cross_pipeline(left, right, cfg)
                 initial, final = res.initial, res.final
@@ -93,11 +98,10 @@ def cmd_run(args) -> int:
             png.write_gray(os.path.join(out_dir, "cross_based_disparity.png"),
                            np.asarray(final))
         if args.method in ("both", "asw"):
-            if args.bands > 1:
+            if bands > 1:
                 from .models.tiled import asw_pipeline_tiled
 
-                disparity, _ = asw_pipeline_tiled(left, right, cfg,
-                                                  args.bands)
+                disparity, _ = asw_pipeline_tiled(left, right, cfg, bands)
                 png.write_gray(os.path.join(out_dir, "asw_disparity.png"),
                                np.asarray(disparity))
             else:
@@ -216,7 +220,8 @@ def main(argv=None) -> int:
                        help="row-band tiling for frames whose cost volume "
                             "exceeds HBM (wavefront strip-carry when "
                             "supported, halo bands otherwise); disparity "
-                            "maps only")
+                            "maps only; 0 = auto from the HBM-fit "
+                            "estimate (models.tiled.auto_bands)")
     p_run.set_defaults(fn=cmd_run)
 
     p_bench = sub.add_parser("bench", help="per-stage TSV benchmark")

@@ -15,7 +15,7 @@ from .cross_based import (
     cross_pipeline_staged,
 )
 from .asw import ASWResult, asw_pipeline, asw_pipeline_impl
-from .tiled import asw_pipeline_tiled, cross_pipeline_tiled
+from .tiled import asw_pipeline_tiled, auto_bands, cross_pipeline_tiled
 
 __all__ = [
     "ASWResult",
@@ -23,6 +23,7 @@ __all__ = [
     "asw_pipeline",
     "asw_pipeline_impl",
     "asw_pipeline_tiled",
+    "auto_bands",
     "cross_pipeline",
     "cross_pipeline_impl",
     "cross_pipeline_tiled",

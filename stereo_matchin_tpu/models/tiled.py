@@ -36,6 +36,33 @@ def asw_reach(cfg: StereoConfig) -> int:
     return (cfg.r_iters + cfg.k_iters + 1) * cfg.radius + 1
 
 
+#: XLA's planned peak HBM for one ASW band program, in units of one
+#: cost-volume's bytes (D*W*rows*4).  Calibrated on the measured OOM
+#: boundary at BASELINE config 3 on a 16 GB v5e: 497-row bands planned
+#: 16.81 GB (OOM at compile), 398-row bands fit — both ≈10.5 live
+#: volume-equivalents at their row counts.
+_ASW_PLAN_FACTOR = 10.5
+
+
+def auto_bands(shape, cfg: StereoConfig,
+               hbm_bytes: int = 16 << 30, safety: float = 0.85) -> int:
+    """Smallest ASW band count whose per-band program is expected to fit
+    in `hbm_bytes` of device memory; 1 means no banding needed.
+
+    The estimate is `_ASW_PLAN_FACTOR` cost-volume-equivalents per band
+    (see above) against `safety * hbm_bytes`.  It is a planning
+    heuristic, not a guarantee — XLA's allocator decides; the factor is
+    pinned by the one measured boundary and errs toward more (cheap,
+    thanks to the wavefront strip carry) rather than fewer bands.
+    """
+    H, W = shape[:2]
+    per_row = _ASW_PLAN_FACTOR * cfg.num_disp * W * 4
+    rows_fit = max(int(safety * hbm_bytes / per_row), 1)
+    if rows_fit >= H:
+        return 1
+    return math.ceil(H / rows_fit)
+
+
 def cross_reach(cfg: StereoConfig) -> int:
     return 3 * cfg.arm_len + 4
 

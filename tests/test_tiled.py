@@ -46,3 +46,19 @@ def test_cross_tiled_matches_full(pair, bands):
     np.testing.assert_array_equal(np.asarray(initial),
                                   np.asarray(full.initial))
     np.testing.assert_array_equal(np.asarray(final), np.asarray(full.final))
+
+
+def test_auto_bands_matches_measured_boundary():
+    """The HBM-fit estimate must reproduce the measured config-3 facts:
+    5 bands fit a 16 GB v5e, 4 bands (497-row) planned past it; the
+    standard Middlebury pairs need no banding at all."""
+    from stereo_matchin_tpu import REFERENCE_CONFIG
+    from stereo_matchin_tpu.models.tiled import auto_bands
+
+    c3 = REFERENCE_CONFIG.replace(d_max=279, aggr_d_chunks=8)
+    assert auto_bands((1988, 2880, 3), c3) == 5
+    assert auto_bands((288, 384, 3), REFERENCE_CONFIG) == 1
+    assert auto_bands((375, 450, 3), REFERENCE_CONFIG) == 1
+    # Monotone in every workload dimension.
+    assert auto_bands((3976, 2880, 3), c3) >= 2 * 5 - 1
+    assert auto_bands((1988, 2880, 3), c3, hbm_bytes=32 << 30) <= 3
