@@ -291,25 +291,19 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
     else:
         # Fail fast instead of hanging forever if the TPU relay is
-        # unreachable — seen two ways: a dead client's device grant
-        # blocking every new claim (after a mid-compile SIGKILL), and
-        # the tunnel itself down (no listener on the relay's :8082
-        # claim port).  The tiny op runs in a subprocess so a hung
-        # claim can be timed out; when the claim port isn't even
-        # listening the watchdog shortens to 2 min.
-        import socket
-
-        try:
-            socket.create_connection(("127.0.0.1", 8082), timeout=3).close()
-            port_open = True
-        except OSError:
-            port_open = False
+        # wedged (a dead client's device grant can block every new
+        # claim; observed once after a mid-compile SIGKILL).  The tiny
+        # op runs in a subprocess so a hung claim can be timed out.
+        # NOTE: a healthy claim can itself take many minutes through
+        # the relay (~9 min observed after a recovery), so the watchdog
+        # is generous; do NOT "optimize" it with a TCP check on :8082 —
+        # the loopback relay rewrites the claim leg to a dynamic port,
+        # so that port is closed even when the relay works.
         code = ("import jax.numpy as jnp;"
                 "print(float(jnp.sum(jnp.ones((128, 128)))))")
         try:
             r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True,
-                               timeout=600 if port_open else 120)
+                               capture_output=True, timeout=1200)
             ok = r.returncode == 0
         except subprocess.TimeoutExpired:
             ok = False
