@@ -295,15 +295,16 @@ def main() -> int:
         # claim; observed once after a mid-compile SIGKILL).  The tiny
         # op runs in a subprocess so a hung claim can be timed out.
         # NOTE: a healthy claim can itself take many minutes through
-        # the relay (~9 min observed after a recovery), so the watchdog
-        # is generous; do NOT "optimize" it with a TCP check on :8082 —
-        # the loopback relay rewrites the claim leg to a dynamic port,
-        # so that port is closed even when the relay works.
+        # the relay (9-20+ min observed while a stale-claim queue
+        # drains after a recovery), so the watchdog is generous; do
+        # NOT "optimize" it with a TCP check on :8082 — the loopback
+        # relay rewrites the claim leg to a dynamic port, so that
+        # port is closed even when the relay works.
         code = ("import jax.numpy as jnp;"
                 "print(float(jnp.sum(jnp.ones((128, 128)))))")
         try:
             r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, timeout=1200)
+                               capture_output=True, timeout=1800)
             ok = r.returncode == 0
         except subprocess.TimeoutExpired:
             ok = False
