@@ -178,3 +178,12 @@ def test_cli_eval_scores_against_ground_truth(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "asw_disparity vs GT: bad1=" in out
     assert rc in (0, 1)  # golden regression may fail at tiny config
+
+
+def test_cli_eval_bare_gt_path_requires_single_pair(tmp_path, capsys):
+    from stereo_matchin_tpu.__main__ import main
+
+    rc = main(["eval", "--pairs", "tsukuba", "teddy",
+               "--gt", str(tmp_path / "gt.pfm")])
+    assert rc == 2
+    assert "exactly one" in capsys.readouterr().err
