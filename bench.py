@@ -238,6 +238,31 @@ def bench_config3_cross(runs: int = 2, W: int = 2880, H: int = 1988,
     return (g.e - g.s) * W * cfg.num_disp / best / 1e6
 
 
+def bench_config4_stream(runs: int = 3, batch: int = 4, W: int = 1242,
+                         H: int = 375, cfg=None):
+    """BASELINE config 4 (batched video-rate stream at KITTI resolution,
+    1242x375, 64 disparities): frames batched through the video pipeline
+    (`asw_pipeline_batched`, sequential lax.map over frames) on one chip.
+    The N-host sharded form of the same workload is exercised by
+    `__graft_entry__.dryrun_multichip` (batch mesh axis) and the
+    weak-scaling metric below.  Returns (Mdisp/s, frames/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_matchin_tpu import REFERENCE_CONFIG
+    from stereo_matchin_tpu.models import asw
+
+    if cfg is None:
+        cfg = REFERENCE_CONFIG.replace(d_max=63)
+    rng = np.random.default_rng(0)
+    base = rng.random((batch, H, W, 3), dtype=np.float32)
+    left = jnp.asarray(base)
+    right = jnp.asarray(np.roll(base, 9, axis=2))
+    fn = jax.jit(lambda l, r: asw.asw_pipeline_batched(l, r, cfg).disparity)
+    best, _ = measure(fn, left, right, runs)
+    return batch * W * H * cfg.num_disp / best / 1e6, batch / best
+
+
 def bench_scaling_subprocess():
     """Weak-scaling on the 8-virtual-device CPU mesh, in a subprocess (the
     parent owns the TPU backend; backends are per-process)."""
@@ -374,6 +399,18 @@ def main() -> int:
             {"metric": "config3_cross_band_2880x1988_280d_throughput",
              "value": None, "unit": "Mdisp/s", "error": repr(e)[:200]}),
             flush=True)
+
+    # BASELINE config 4: batched video-rate stream at KITTI resolution.
+    try:
+        b, fps = bench_config4_stream(max(2, args.runs // 4))
+        emit("config4_kitti_stream_b4_throughput", b, b / 17.5)
+        # Same ratio as the Mdisp/s line (fps = Mdisp/s over one frame's
+        # disparity count); reported in stream-native units.
+        emit("config4_kitti_stream_b4_fps", fps, b / 17.5, unit="frames/s")
+    except Exception as e:  # noqa: BLE001 — bench must report what it can
+        print(json.dumps({"metric": "config4_kitti_stream_b4_throughput",
+                          "value": None, "unit": "Mdisp/s",
+                          "error": repr(e)[:200]}), flush=True)
 
     try:
         rep = bench_scaling_subprocess()

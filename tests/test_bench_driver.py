@@ -42,3 +42,10 @@ def test_anchors_cover_all_pairs():
     for m in ("asw", "cross"):
         for p in ("tsukuba", "teddy", "cones", "art", "laundry"):
             assert bench.anchor_mdisp(m, p) > 0
+
+
+def test_config4_stream_path():
+    cfg = TOY.replace(kernels="jnp")
+    mdisp, fps = bench.bench_config4_stream(runs=1, batch=2, W=32, H=24,
+                                            cfg=cfg)
+    assert mdisp > 0 and fps > 0
