@@ -352,8 +352,10 @@ def _mid_band(l, r, strips, astrip, cfg, geom, interpret):
     return _tail(aggr, l, r, cfg, geom), strips_out, astrip_out
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(4, 5, 6))
 def _last_band(l, r, strips, astrip, cfg, geom, interpret):
+    # No donation: the last band emits no strips, so the donated inputs
+    # would have no output to alias (XLA warns and ignores).
     lt, rt = jnp.swapaxes(l, 0, 1), jnp.swapaxes(r, 0, 1)
     aggr, _, _ = _wave_aggregate(lt, rt, strips, astrip, cfg, geom,
                                  interpret)

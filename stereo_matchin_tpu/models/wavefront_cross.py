@@ -248,6 +248,13 @@ def _mid_band_c(l, r, strips, cfg, geom, interpret):
     return _cross_band_impl(l, r, strips, cfg, geom, interpret)
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _last_band_c(l, r, strips, cfg, geom, interpret):
+    # No donation: the last band emits no strips, so the donated input
+    # would have no output to alias (XLA warns and ignores).
+    return _cross_band_impl(l, r, strips, cfg, geom, interpret)
+
+
 def cross_wavefront_supported(left_shape, cfg: StereoConfig,
                               num_bands: int) -> bool:
     H = left_shape[0]
@@ -272,6 +279,8 @@ def cross_pipeline_wavefront(left, right, cfg: StereoConfig,
         l_sl, r_sl = left[g.g0:g.g1], right[g.g0:g.g1]
         if g.first:
             out, strips = _first_band_c(l_sl, r_sl, cfg, g, interpret)
+        elif g.last:
+            out, strips = _last_band_c(l_sl, r_sl, strips, cfg, g, interpret)
         else:
             out, strips = _mid_band_c(l_sl, r_sl, strips, cfg, g, interpret)
         device_sync(out["final"])
