@@ -285,10 +285,22 @@ def run(batch, mesh_cfg):
     left = jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32))
     right = jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32))
     return scaling_report(f, left, right, mesh, runs=3)
+def run_rows(height, mesh_cfg):
+    mesh = build_mesh(mesh_cfg)
+    f = make_asw_sharded(cfg, mesh)
+    left = jnp.asarray(rng.random((1, height, W, 3), dtype=np.float32))
+    right = jnp.asarray(rng.random((1, height, W, 3), dtype=np.float32))
+    return scaling_report(f, left, right, mesh, runs=3)
 r1 = run(1, MeshConfig(batch=1, row=1, disp=1))
 r8 = run(8, MeshConfig(batch=8, row=1, disp=1))
 eff = (r8["mpix_s"] / 8.0) / r1["mpix_s"]
-print(json.dumps({"eff": eff, "mpix_1dev": r1["mpix_s"], "mpix_8dev": r8["mpix_s"]}))
+# Row-sharded weak scaling: 8x the rows over 8 devices with ppermute
+# halo exchange (the spatial-tiling axis), vs the same band on 1 device.
+s1 = run_rows(H, MeshConfig(batch=1, row=1, disp=1))
+s8 = run_rows(8 * H, MeshConfig(batch=1, row=8, disp=1))
+eff_row = (s8["mpix_s"] / 8.0) / s1["mpix_s"]
+print(json.dumps({"eff": eff, "mpix_1dev": r1["mpix_s"], "mpix_8dev": r8["mpix_s"],
+                  "eff_row": eff_row, "mpix_row8": s8["mpix_s"]}))
 """
     env = dict(**__import__("os").environ)
     env.pop("JAX_PLATFORMS", None)
@@ -434,6 +446,10 @@ def main() -> int:
         ceiling = min(8, os.cpu_count() or 8)
         emit("weak_scaling_8dev_cpu_mesh_speedup", speedup,
              speedup / ceiling, unit="x")
+        if "eff_row" in rep:
+            row_speedup = rep["eff_row"] * 8.0
+            emit("weak_scaling_8dev_row_mesh_speedup", row_speedup,
+                 row_speedup / ceiling, unit="x")
     return 0
 
 
