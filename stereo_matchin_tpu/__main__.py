@@ -34,9 +34,10 @@ def _config_from_args(args):
         v = getattr(args, f, None)
         if v is not None:
             kw[f] = v
-    v = getattr(args, "aggr_kernels", None)
-    if v is not None:
-        kw["aggr_kernels"] = v
+    for f in ("aggr_kernels", "oii_impl", "kernels"):
+        v = getattr(args, f, None)
+        if v is not None:
+            kw[f] = v
     return StereoConfig(**kw)
 
 
@@ -210,6 +211,12 @@ def main(argv=None) -> int:
         p.add_argument("--aggr_kernels", choices=["auto", "dres", "grid"],
                        default=None,
                        help="ASW aggregation kernel family (default auto)")
+        p.add_argument("--oii_impl", choices=["auto", "prefix", "taps",
+                                              "pallas"], default=None,
+                       help="cross-method OII/vote implementation")
+        p.add_argument("--kernels", choices=["auto", "jnp", "pallas"],
+                       default=None,
+                       help="force the compute backend path")
 
     p_run = sub.add_parser("run", help="run pipelines, write PNG artifacts")
     common(p_run)
