@@ -196,6 +196,32 @@ def cmd_eval(args) -> int:
     return 1 if failed else 0
 
 
+def cmd_synth(args) -> int:
+    """Generate a synthetic stereo pair with known ground truth — a
+    self-contained way to exercise the full run→eval-vs-GT loop without
+    Middlebury data on disk."""
+    from .eval.synthetic import synthetic_scene
+    from .io import png
+    from .io.groundtruth import write_pfm
+
+    rng = np.random.default_rng(args.seed)
+    left, right, gt, mask = synthetic_scene(rng, args.height, args.width,
+                                            args.disp)
+    os.makedirs(args.out, exist_ok=True)
+    lp = os.path.join(args.out, "imL.png")
+    rp = os.path.join(args.out, "imR.png")
+    png.write_rgb(lp, left)
+    png.write_rgb(rp, right)
+    write_pfm(os.path.join(args.out, "gt.pfm"), gt, invalid_mask=~mask)
+    with open(os.path.join(args.out, "pics.txt"), "w") as f:
+        f.write(f"{lp}\n{rp}\n")
+    print(f"scene in {args.out}: imL/imR.png ({args.height}x{args.width}, "
+          f"max disparity {args.disp}), gt.pfm (nonocc mask), pics.txt")
+    print(f"  run:  python -m stereo_matchin_tpu run --pics "
+          f"{args.out}/pics.txt --out {args.out}/maps")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="stereo_matchin_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -246,6 +272,16 @@ def main(argv=None) -> int:
                         help="stored-value-per-disparity override "
                              "(defaults: pfm 1, pgm 16, png 4)")
     p_eval.set_defaults(fn=cmd_eval)
+
+    p_synth = sub.add_parser(
+        "synth", help="generate a synthetic pair + ground-truth PFM")
+    p_synth.add_argument("--out", default="synth")
+    p_synth.add_argument("--width", type=int, default=384)
+    p_synth.add_argument("--height", type=int, default=288)
+    p_synth.add_argument("--disp", type=int, default=24,
+                         help="scene's maximum disparity in pixels")
+    p_synth.add_argument("--seed", type=int, default=0)
+    p_synth.set_defaults(fn=cmd_synth)
 
     args = ap.parse_args(argv)
     return args.fn(args)

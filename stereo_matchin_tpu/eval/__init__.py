@@ -1,5 +1,6 @@
 """Quality metrics and golden-image regression."""
 
+from .synthetic import synthetic_scene
 from .metrics import (
     MapComparison,
     bad_pixel_pct,
@@ -14,4 +15,5 @@ __all__ = [
     "compare_maps",
     "compare_to_golden",
     "golden_path",
+    "synthetic_scene",
 ]

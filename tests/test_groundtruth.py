@@ -22,47 +22,9 @@ from stereo_matchin_tpu import TINY_CONFIG
 from stereo_matchin_tpu.eval import bad_pixel_pct
 
 
-def _synthetic_scene(rng, H=96, W=160, d_max=12):
-    """Left/right views of a 3-layer fronto-parallel scene + GT disparity.
-
-    The RIGHT image is a smooth random texture; the LEFT view samples it
-    at x - d(x, y) (so left pixel x matches right pixel x - d, the
-    reference's correspondence convention).  GT is the left-view map.
-    """
-    # Smooth texture: blurred noise, strong local gradients for matching.
-    tex = rng.random((H, W + d_max, 3)).astype(np.float32)
-    k = np.ones(5) / 5.0
-    for ax in (0, 1):
-        tex = np.apply_along_axis(
-            lambda m: np.convolve(m, k, mode="same"), ax, tex)
-    tex = (tex - tex.min()) / (tex.max() - tex.min())
-    tex = np.round(tex * 255.0) / 255.0  # UNORM8 grid
-
-    # Piecewise-constant disparity: background + two rectangles.
-    gt = np.full((H, W), 3, np.int32)
-    gt[20:70, 30:90] = 8
-    gt[40:85, 100:150] = d_max
-    xs = np.arange(W)[None, :]
-
-    right = tex[:, :W].astype(np.float32)
-    # Left view: sample the right texture at x - d.
-    src = np.clip(xs - gt, 0, W - 1)
-    left = right[np.arange(H)[:, None], src]
-
-    # Occlusion mask (left view): pixels whose match column is claimed by
-    # a nearer (larger-d) pixel to the right of them; approximate by
-    # excluding pixels within max-disparity-jump of a left edge of a
-    # nearer region, plus the image's left border (x < d has no match).
-    occ = xs < gt
-    jump = np.zeros_like(occ)
-    d_pad = np.pad(gt, [(0, 0), (0, 1)], mode="edge")
-    rise = d_pad[:, 1:] - gt  # disparity of pixel to the right minus ours
-    for shift in range(1, d_max + 1):
-        # pixels within `shift` of a rise >= shift are occluded in the right view
-        r = np.roll(rise >= shift, -shift + 1, axis=1)
-        jump |= r
-    mask = ~(occ | jump)
-    return left, right, gt.astype(np.float32), mask
+# The scene generator lives in the product (eval/synthetic.py; also the
+# CLI `synth` subcommand) — these tests pin its metric-facing behavior.
+from stereo_matchin_tpu.eval.synthetic import synthetic_scene as _synthetic_scene
 
 
 def test_asw_pipeline_against_known_ground_truth(rng):
@@ -187,3 +149,25 @@ def test_cli_eval_bare_gt_path_requires_single_pair(tmp_path, capsys):
                "--gt", str(tmp_path / "gt.pfm")])
     assert rc == 2
     assert "exactly one" in capsys.readouterr().err
+
+
+def test_cli_synth_generates_scorable_scene(tmp_path):
+    """synth → run --pics → bad-pixel vs the generated gt.pfm: the full
+    self-contained quality loop, no external data."""
+    from stereo_matchin_tpu.__main__ import main
+    from stereo_matchin_tpu.io import png
+    from stereo_matchin_tpu.io.groundtruth import read_groundtruth
+
+    out = tmp_path / "scene"
+    rc = main(["synth", "--out", str(out), "--width", "96", "--height",
+               "64", "--disp", "8", "--seed", "7"])
+    assert rc == 0
+    gt, valid = read_groundtruth(out / "gt.pfm")
+    assert gt.shape == (64, 96) and valid.any() and not valid.all()
+    rc = main(["run", "--pics", str(out / "pics.txt"), "--method", "asw",
+               "--out", str(out / "maps"), "--d_max", "8", "--radius", "4",
+               "--r_iters", "2", "--k_iters", "1"])
+    assert rc == 0
+    got = png.read_gray(next((out / "maps").rglob("asw_disparity.png"))) * 8
+    bad2 = bad_pixel_pct(got, gt, threshold=2.0, mask=valid)
+    assert bad2 < 10.0, bad2
