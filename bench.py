@@ -90,6 +90,11 @@ def measure(fn, left, right, runs: int, blocks: int = 2):
     t1 = min(block(n1) for _ in range(blocks))
     t2 = min(block(n2) for _ in range(blocks))
     slope = (t2 - t1) / (n2 - n1)
+    if slope <= 0:
+        # Timing noise can exceed the block delta on sub-ms workloads;
+        # the larger block's mean (sync constant amortised over n2) is a
+        # conservative positive stand-in.
+        slope = t2 / n2
     # The naive companion is literally one sync per run — what a
     # single-run measurement sees, sync constant included.
     naive = min(block(1) for _ in range(blocks))
@@ -175,6 +180,8 @@ def bench_config3_band(runs: int = 2, W: int = 2880, H: int = 1988,
         t1, strips, astrip = block(n1, strips, astrip)
         t2, strips, astrip = block(n2, strips, astrip)
         best = (t2 - t1) / (n2 - n1)
+        if best <= 0:               # noise > block delta at toy sizes
+            best = t2 / n2
         return (g.e - g.s) * W * cfg.num_disp / best / 1e6
 
     # Fallback: plain halo-recompute band (pre-wavefront scheme).
@@ -235,6 +242,8 @@ def bench_config3_cross(runs: int = 2, W: int = 2880, H: int = 1988,
     t1, strips = block(n1, strips)
     t2, strips = block(n2, strips)
     best = (t2 - t1) / (n2 - n1)
+    if best <= 0:                   # noise > block delta at toy sizes
+        best = t2 / n2
     return (g.e - g.s) * W * cfg.num_disp / best / 1e6
 
 
