@@ -26,16 +26,20 @@ def tsukuba():
 
 
 def test_cross_pipeline_matches_goldens(tsukuba):
+    """Tsukuba cross goldens are the PRISTINE originals again (the mount
+    was refreshed before round 3; the manifest pins them).  Measured:
+    initial 99.82% exact / bad2 0.10% (CPU; 99.92%/0.04% on TPU), final
+    97.23% exact / bad2 0.21%.  Thresholds sit just below measured."""
     left, right = tsukuba
     res = cross_based.cross_pipeline(left, right, REFERENCE_CONFIG)
     initial = compare_to_golden(np.asarray(res.initial), "tsukuba",
                                 "cross_based_initial.png")
     final = compare_to_golden(np.asarray(res.final), "tsukuba",
                               "cross_based_disparity.png")
-    assert initial.exact_pct > 99.0, initial
-    assert initial.bad2_pct < 0.5, initial
-    assert final.exact_pct > 95.0, final
-    assert final.bad2_pct < 1.0, final
+    assert initial.exact_pct > 99.5, initial
+    assert initial.bad2_pct < 0.3, initial
+    assert final.exact_pct > 96.5, final
+    assert final.bad2_pct < 0.5, final
 
 
 def test_asw_pipeline_matches_goldens(tsukuba):
@@ -62,9 +66,8 @@ def test_asw_other_pairs(pair):
 @pytest.mark.slow
 @pytest.mark.parametrize("pair", ["teddy", "cones", "art", "laundry"])
 def test_cross_other_pairs(pair):
-    """Cross-method goldens on the four PRISTINE pairs (tsukuba's cross
-    goldens are round-1 reconstructions — PARITY.md incident note; these
-    four carry the original device outputs).  Measured round 2 (CPU,
+    """Cross-method goldens on the other four pairs (all pristine, as is
+    tsukuba since the round-3 mount refresh).  Measured round 2 (CPU,
     prefix impl): initial exact 98.7-99.8% / bad2 <= 0.88%; final maps
     carry ~9-13% one-level vote differences (each initial-map discrepancy
     spreads over its ~51-px cross region) but bad2 <= 0.87%."""

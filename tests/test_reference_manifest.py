@@ -1,11 +1,12 @@
 """Guard the read-only reference mount against accidental writes.
 
 Round 1 had an incident where a CLI path-traversal bug overwrote two
-reference golden PNGs (PARITY.md "Incident note").  This test pins a
-SHA-256 of EVERY file under /root/reference to the state observed at the
-start of round 2 (tsukuba's cross_based_{initial,disparity}.png are the
-round-1 reconstructions; if the mount is ever refreshed with the
-originals, regenerate the manifest and drop the PARITY caveat).
+reference golden PNGs (since resolved).  This test pins a SHA-256 of
+EVERY file under /root/reference.  Before round 3 the mount was refreshed
+with the PRISTINE originals (and is now kernel-enforced read-only:
+r--r--r-- on a read-only mount) — the manifest pins those originals, so
+every golden comparison in the suite is against authentic reference
+device outputs.
 
 Any mismatch means something wrote into the reference checkout — fail
 loudly and immediately so the damage is caught, not survived.
