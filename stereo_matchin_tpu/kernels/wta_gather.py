@@ -14,10 +14,14 @@ This kernel takes the sheared volume `diag` (built once per frame,
 layout (H, D, K)) and, per image row on the MXU:
 
   * resolves the per-pixel diagonal offset with an in-VMEM one-hot
-    matmul — nothing K-sized ever reaches HBM.  The contraction runs at
-    Precision.HIGHEST: the MXU truncates f32 operands to bf16 at the
-    DEFAULT precision, which would round every gathered cost value (and
-    measurably degraded disparity fidelity in round 1/2 until caught);
+    matmul — nothing K-sized ever reaches HBM.  The MXU truncates f32
+    operands to bf16 at DEFAULT precision (which silently rounded every
+    gathered cost until caught in round 2), so the cost operand is split
+    Dekker-style into THREE non-overlapping bf16 parts (h0/h1/h2 in
+    `row()` below) and contracted in three DEFAULT-precision passes: a
+    one-hot contraction has no accumulation rounding, so the three
+    partials reconstruct every f32 bit exactly — same fidelity as
+    Precision.HIGHEST at half the MXU passes;
   * applies the optional WTA_REF penalty 0.085*den*|ref - i| in-register;
   * runs the masked two-min with ties to the LARGEST plane (the scan
     -order semantics) and the big-cap rules, bit-identically to

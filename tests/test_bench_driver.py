@@ -46,6 +46,57 @@ def test_anchors_cover_all_pairs():
 
 def test_config4_stream_path():
     cfg = TOY.replace(kernels="jnp")
-    mdisp, fps = bench.bench_config4_stream(runs=1, batch=2, W=32, H=24,
-                                            cfg=cfg)
+    mdisp, fps, mode = bench.bench_config4_stream(runs=1, batch=2, W=32,
+                                                  H=24, cfg=cfg)
     assert mdisp > 0 and fps > 0
+    assert mode == "batched_b2"
+
+
+def test_config4_stream_host_loop_rung():
+    """The fallback ladder's last rung (single-frame program, host loop)
+    must produce a number on its own — it is what rescues the metric when
+    the batched program kills the compile helper (round-2 HTTP 500)."""
+    cfg = TOY.replace(kernels="jnp")
+    import unittest.mock as mock
+
+    calls = []
+    orig = bench.measure
+
+    def spy(fn, *a, **k):
+        calls.append(fn)
+        return orig(fn, *a, **k)
+
+    with mock.patch.object(bench, "measure", side_effect=spy):
+        # Force the two batched rungs to fail so the ladder reaches the
+        # host loop.
+        real_batched = {}
+
+        mdisp, fps, mode = None, None, None
+        import jax
+
+        orig_jit = jax.jit
+
+        def failing_jit(f, *a, **k):
+            # batched rungs jit a lambda over asw_pipeline_batched;
+            # host_loop jits asw_pipeline_impl — tell them apart by
+            # running both and failing only the first two invocations.
+            real_batched["n"] = real_batched.get("n", 0) + 1
+            if real_batched["n"] <= 2:
+                raise RuntimeError("synthetic compile failure")
+            return orig_jit(f, *a, **k)
+
+        with mock.patch.object(jax, "jit", side_effect=failing_jit):
+            mdisp, fps, mode = bench.bench_config4_stream(
+                runs=1, batch=2, W=32, H=24, cfg=cfg)
+    assert mdisp > 0 and fps > 0
+    assert mode == "host_loop_b1"
+
+
+def test_safe_slope_fallback(capsys):
+    # Positive slope: returned untouched, no warning.
+    assert bench._safe_slope(1.0, 2.0, 2, 4) == 0.5
+    assert capsys.readouterr().err == ""
+    # Noise-inverted blocks: conservative t2/n2 stand-in + stderr note.
+    v = bench._safe_slope(2.0, 1.5, 2, 4, "unit")
+    assert v == 1.5 / 4
+    assert "slope fallback" in capsys.readouterr().err
