@@ -4,7 +4,11 @@ two-process jax.distributed rig on the CPU backend.
 Each worker process initialises against a local coordinator, sees the
 global device set, builds the pod mesh (batch axis across processes,
 row axis within — distributed.build_pod_mesh's DCN/ICI layout claim),
-and runs one jitted cross-process collective through it.
+and runs one jitted cross-process collective through it.  A second rig
+runs the ACTUAL sharded ASW pipeline (make_asw_sharded) across the two
+processes and asserts every addressable output shard equals the
+single-device pipeline — the multi-host row of SURVEY §2.3 exercised
+end to end, not just init + one psum.
 """
 
 import os
@@ -48,18 +52,79 @@ print("WORKER_OK", pid, flush=True)
 """
 
 
+PIPELINE_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")   # axon sitecustomize override
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from stereo_matchin_tpu import StereoConfig
+from stereo_matchin_tpu.models import asw
+from stereo_matchin_tpu.parallel import distributed, make_asw_sharded
+
+addr, pid = sys.argv[1], int(sys.argv[2])
+distributed.initialize(coordinator_address=addr, num_processes=2,
+                       process_id=pid)
+assert jax.process_count() == 2
+
+cfg = StereoConfig(d_max=10, radius=3, arm_len=4, r_iters=2, k_iters=2)
+B, H, W = 2, 24, 20
+rng = np.random.default_rng(7)                       # same seed both procs
+left_np = (rng.integers(0, 256, (B, H, W, 3)) / np.float32(255.0)).astype(
+    np.float32)
+right_np = np.roll(left_np, -3, axis=2)
+noise = rng.integers(-10, 11, right_np.shape) / np.float32(255.0)
+right_np = np.clip(np.round((right_np + noise) * 255) / 255.0, 0,
+                   1).astype(np.float32)
+
+# batch axis spans the two processes (one frame each), row axis the two
+# local devices of each process — exactly build_pod_mesh's DCN/ICI layout.
+mesh = distributed.build_pod_mesh(row=2, disp=1)
+assert dict(mesh.shape) == {"batch": 2, "row": 2, "disp": 1}, mesh.shape
+spec = NamedSharding(mesh, P("batch", "row", None, None))
+left = jax.make_array_from_callback((B, H, W, 3), spec,
+                                    lambda i: left_np[i])
+right = jax.make_array_from_callback((B, H, W, 3), spec,
+                                     lambda i: right_np[i])
+
+f = make_asw_sharded(cfg, mesh)
+out = f(left, right)
+jax.block_until_ready(out)
+
+# Single-device reference, computed independently in this process.
+ref = jax.vmap(lambda l, r: asw.asw_pipeline(l, r, cfg))(
+    jnp.asarray(left_np), jnp.asarray(right_np))
+ref = jax.tree.map(np.asarray, ref)
+
+checked = 0
+for name in ("disparity", "filled", "wta_left", "wta_right",
+             "consistency_pre", "consistency_post"):
+    got, want = getattr(out, name), getattr(ref, name)
+    for shard in got.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data),
+                                      want[shard.index],
+                                      err_msg=f"{name} shard {shard.index}")
+        checked += 1
+assert checked >= 12, checked     # 6 outputs x >=2 local shards each
+print("PIPELINE_OK", pid, "shards", checked, flush=True)
+"""
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
 
 
-def test_initialize_two_process_mesh():
+def _run_two_workers(worker_src: str, ok_token: str, timeout: int = 240):
     addr = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     procs = [
-        subprocess.Popen([sys.executable, "-c", WORKER, addr, str(i)],
+        subprocess.Popen([sys.executable, "-c", worker_src, addr, str(i)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env)
         for i in (0, 1)
@@ -67,7 +132,7 @@ def test_initialize_two_process_mesh():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -75,4 +140,16 @@ def test_initialize_two_process_mesh():
                 p.kill()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
-        assert f"WORKER_OK {i}" in out
+        assert f"{ok_token} {i}" in out
+
+
+def test_initialize_two_process_mesh():
+    _run_two_workers(WORKER, "WORKER_OK")
+
+
+def test_sharded_asw_pipeline_two_processes():
+    """The sharded ASW pipeline executed across TWO REAL PROCESSES
+    (2 procs x 2 local CPU devices; batch over DCN, row-halo ppermutes
+    within each process) — every addressable output shard must equal the
+    single-device pipeline bit-for-bit."""
+    _run_two_workers(PIPELINE_WORKER, "PIPELINE_OK", timeout=420)
