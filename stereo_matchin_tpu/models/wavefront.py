@@ -72,9 +72,21 @@ def _keep(cfg: StereoConfig) -> int:
     return cfg.k_iters * cfg.radius + 1
 
 
-def plan_bands(H: int, num_bands: int, cfg: StereoConfig):
+def plan_bands(H: int, num_bands: int, cfg: StereoConfig, align: int = 128):
     """Band geometries, or None when the wavefront layout's constraints
-    don't hold (bands too short for the strips / replica validity)."""
+    don't hold (bands too short for the strips / replica validity).
+
+    Band boundaries are snapped to multiples of `align` (the TPU lane
+    tile) when the constraints allow: the dres pass kernels put a band's
+    kept-row count N in the LANE dimension, so an unaligned N pads to the
+    next 128-multiple and silently wastes the padded fraction of every
+    aggregation pass (measured at BASELINE config 3: 398-row bands pad to
+    512 lanes — 29% of the hot loop spent on replica rows — and the
+    smaller 384-row working set also lets _w_block pick 96 over 64).
+    Alignment moves only WHERE bands are cut, never any computed value
+    (banded == full stays bit-identical; pinned by tests).  Falls back to
+    the unaligned even split when no aligned layout satisfies the strip
+    constraints (small frames / tiny test configs)."""
     R, r, keep = cfg.radius, cfg.r_iters, _keep(cfg)
     if num_bands < 2 or H < 2 * num_bands:
         return None
@@ -83,29 +95,44 @@ def plan_bands(H: int, num_bands: int, cfg: StereoConfig):
     # rows.  N >= keep + (r-1)*R + 1: every level window starts at a real
     # row (lo_1 <= H-1), so frame-bottom replicas have a source.
     n_min = max(2 * keep, keep + (r - 1) * R + 1, 2 * R)
-    edges = list(range(0, H, band)) + [H]
-    geoms = []
-    for i in range(len(edges) - 1):
-        s, e = edges[i], edges[i + 1]
-        first, last = i == 0, i == len(edges) - 2
-        if not first and (e - s < n_min or s - keep - R < 0):
-            return None
-        if not last and e + keep > H:
-            return None
-        g0 = 0 if first else s - keep - R
-        g1 = min(H, e + keep + r * R)
-        geoms.append(_Geom(s, e, g0, g1, H, first, last))
-    return geoms if len(geoms) >= 2 else None
+
+    def build(edges):
+        geoms = []
+        for i in range(len(edges) - 1):
+            s, e = edges[i], edges[i + 1]
+            first, last = i == 0, i == len(edges) - 2
+            if not first and (e - s < n_min or s - keep - R < 0):
+                return None
+            if not last and e + keep > H:
+                return None
+            g0 = 0 if first else s - keep - R
+            g1 = min(H, e + keep + r * R)
+            geoms.append(_Geom(s, e, g0, g1, H, first, last))
+        return geoms if len(geoms) >= 2 else None
+
+    for step in (band // align * align, -(-band // align) * align):
+        if step < max(align, n_min):
+            continue
+        edges = sorted({min(i * step, H) for i in range(num_bands)} | {H})
+        # Bound the last band's overshoot: auto_bands sized `band` rows to
+        # the HBM fit, so don't let alignment grow any band past one lane
+        # tile over the even split.
+        if any(b - a > band + align for a, b in zip(edges, edges[1:])):
+            continue
+        geoms = build(edges)
+        if geoms:
+            return geoms
+    return build(list(range(0, H, band)) + [H])
 
 
 def wavefront_supported(left_shape, cfg: StereoConfig, num_bands: int,
-                        interpret: bool = False) -> bool:
+                        interpret: bool = False, align: int = 128) -> bool:
     from ..kernels.asw_aggregation_dres import dres_vmem_fits
 
     if not (interpret or _use_pallas(cfg)) or cfg.aggr_kernels == "grid":
         return False
     H, W = left_shape[:2]
-    geoms = plan_bands(H, num_bands, cfg)
+    geoms = plan_bands(H, num_bands, cfg, align)
     if geoms is None:
         return False
     chunk, _ = _chunk_geometry(cfg.num_disp, max(cfg.aggr_d_chunks, 1),
@@ -363,14 +390,14 @@ def _last_band(l, r, strips, astrip, cfg, geom, interpret):
 
 
 def asw_pipeline_wavefront(left, right, cfg: StereoConfig, num_bands: int,
-                           interpret: bool = False):
+                           interpret: bool = False, align: int = 128):
     """Banded ASW run with inter-band strip carry; returns
     (disparity, filled), bit-identical to the full-frame asw_pipeline on
     the dres kernels.  Bands are synced before the next dispatch for the
     same reason as models/tiled._run_banded (bounding live HBM)."""
     H = left.shape[0]
     keep = _keep(cfg)
-    geoms = plan_bands(H, num_bands, cfg)
+    geoms = plan_bands(H, num_bands, cfg, align)
     if geoms is None:
         raise ValueError(
             f"wavefront band layout unsupported at H={H}, "

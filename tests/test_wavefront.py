@@ -68,6 +68,33 @@ def test_wavefront_non_dividing_last_band(pair):
     np.testing.assert_array_equal(np.asarray(filled), np.asarray(filled_f))
 
 
+def test_wavefront_aligned_plan_matches_full(pair):
+    """Lane-aligned band boundaries (plan_bands' align snap) move the
+    cuts but not the values.  align=8 at H=44 forces the aligned layout
+    (bands 16/16/12) where the default 128 would fall back to the even
+    split (15/15/14)."""
+    left, right = pair
+    left, right = left[:44], right[:44]
+    aligned = plan_bands(44, 3, CFG, align=8)
+    assert [(g.s, g.e) for g in aligned] == [(0, 16), (16, 32), (32, 44)]
+    disp_f, filled_f = _full_dres(left, right, CFG)
+    disp, filled = asw_pipeline_wavefront(left, right, CFG, 3,
+                                          interpret=True, align=8)
+    np.testing.assert_array_equal(np.asarray(disp), np.asarray(disp_f))
+    np.testing.assert_array_equal(np.asarray(filled), np.asarray(filled_f))
+
+
+def test_plan_aligned_at_scale():
+    """BASELINE config-3 geometry: interior bands snap to 128-multiples
+    (zero lane padding in the dres passes); the last band absorbs the
+    remainder, bounded to one lane tile over the even split."""
+    cfg = StereoConfig(d_max=279, radius=16, r_iters=7, k_iters=6,
+                       aggr_d_chunks=8, kernels="pallas")
+    geoms = plan_bands(1988, 5, cfg)
+    assert [g.e - g.s for g in geoms] == [384, 384, 384, 384, 452]
+    assert all(g.s % 128 == 0 for g in geoms)
+
+
 def test_plan_rejects_short_bands():
     # 6-row bands are shorter than the 2*keep strip window.
     assert plan_bands(48, 8, CFG) is None
