@@ -9,18 +9,18 @@ only the layout and schedule change:
   * volumes and weight strips live TRANSPOSED — (D, W, H) / (T, W, H) —
     so the per-disparity right-weight shift max(x - d, 0) moves from the
     lane dimension to the SUBLANE dimension;
-  * the shift is decomposed d = 8k + r.  Measured on v5e, a dynamic lane
+  * the shift is decomposed d = 8g + j.  Measured on v5e, a dynamic lane
     rotate + edge select costs ~3x the tap FMA work and a dynamic
     sublane roll even more, but an 8-ALIGNED dynamic sublane slice is
-    free (pure addressing).  Each program therefore runs 8 static
-    residue sections: one unaligned window copy into VMEM scratch per
-    residue (amortised over D/8 disparities x T taps), then a fori over
-    k whose remaining 8k offset is an aligned `pl.ds` — the tap loop is
-    pure multiply-accumulate;
+    free (pure addressing).  Each program therefore loops (fori) over
+    GROUPS of 8 consecutive disparity planes: one aligned dynamic window
+    read per group, then 8 STATIC sub-slices give each plane's shifted
+    weight window and the tap loop is pure multiply-accumulate at static
+    offsets (see _group_sections — measured 5.3 -> 3.3 ps/tap-element
+    over the residue-class/scratch-copy schedule it replaced);
   * each program owns one W-block and ALL disparities (grid = x-blocks
-    (x lane-blocks when H is huge)), so d is a kernel-level loop index
-    and the residue decomposition is static; weight blocks are fetched
-    once per x-block;
+    (x lane-blocks when H is huge)), so the group decomposition is
+    static; weight blocks are fetched once per x-block;
   * the left-edge clamp (x - d < 0 reads column 0, asw_*cost_
     aggregation.cl) is baked into the unfolded weight windows as edge
     padding — no per-element select anywhere;
@@ -61,9 +61,10 @@ def _vmem_need(D: int, H: int, radius: int, w_b: int) -> int:
     """Conservative per-program VMEM estimate for the pass kernels.
 
     Streamed blocks are double-buffered by the Pallas pipeline; the
-    residue-window scratch is single.  The modelled total undershoots
-    Mosaic's actual scoped-stack accounting by ~12% (measured at
-    D=40, H=607, R=16, w_b=96: modelled 115.0 MB vs compiler-reported
+    per-group weight window w8 (see _group_sections) is a loop-local
+    VMEM temp.  The modelled total undershoots Mosaic's actual
+    scoped-stack accounting (measured ~12% at the residue-era shapes:
+    D=40, H=607, R=16, w_b=96 modelled 115.0 MB vs compiler-reported
     129.3 MB), so the result is inflated by 1.18x to keep the gate
     honest — without it the first config-3 band picked w_b=96 and died
     in compile with a scoped-vmem OOM."""
@@ -75,8 +76,8 @@ def _vmem_need(D: int, H: int, radius: int, w_b: int) -> int:
               + T * (w_b + P + 8) * H_pad  # unfolded wr
               + D * w_b * HL             # cost (v; >= the h-pass pair)
               + 2 * D * w_b * H_pad)     # den + out
-    scratch = T * (P + w_b) * H_pad
-    return int((2 * blocks + scratch) * 4 * 1.18)
+    w8 = T * (w_b + 16) * H_pad
+    return int((2 * blocks + w8) * 4 * 1.18)
 
 
 def _w_block(radius: int, D: int, H: int) -> int | None:
@@ -124,92 +125,94 @@ def unfold_weights(wr_t, w_b: int, P: int, n_x: int, d0, max_shift: int):
         for i in range(n_x)])
 
 
-def _residue_sections(D: int, P: int, section):
-    """section(r, n_k, astart) per residue class; d_local = 8k + r."""
-    for r in range(8):
-        n_k = (D - 1 - r) // 8 + 1
-        if r >= D or n_k <= 0:
-            continue
-        base = P if r == 0 else P - 8
+def _group_sections(D: int, P: int, w_b: int, wru_ref, section):
+    """Run `section(ds, wrs)` over groups of (up to) 8 consecutive
+    disparity planes.
 
-        def astart(k, base=base):
-            return pl.multiple_of(base - 8 * k, 8)
+    `ds` is the traced plane index of the group's first plane and `wrs`
+    a length-(group) list of that plane's (T, w_b, H) shifted right-
+    weight windows.  The group window w8 covers sublane rows
+    [P - 8 - 8g, P + 8 - 8g + w_b) of the unfolded strip — an 8-ALIGNED
+    dynamic slice (free addressing) — and plane d = 8g + j's window is
+    the STATIC sub-slice at 8 - j (its composite offset is P - d, the
+    reference's max(x - d, 0) read).  Versus the earlier residue-class
+    schedule (8 per-residue window copies into scratch + a fori with a
+    dynamic aligned start), everything the tap loop touches is now a
+    static offset from one aligned dynamic base: measured at the
+    BASELINE config-3 band geometry this is the difference between
+    5.3 and 3.3 ps/tap-element, against a 3.1 floor-plus-lane-misalign
+    ladder (scratch/prof_vparts.py) — the remaining ~1.6 ps over the
+    aligned-FMA floor is the hardware price of the v-pass's unaligned
+    lane tap walk itself.
 
-        section(r, n_k, astart)
+    Full groups run under one fori (uniform body); a partial tail group
+    (D % 8) is peeled statically."""
+    n_full = D // 8
+
+    def group(g, n_j):
+        base = pl.multiple_of(P - 8 - 8 * g, 8)
+        w8 = wru_ref[0, :, pl.ds(base, w_b + 16), :]
+        wrs = [w8[:, 8 - j:8 - j + w_b, :] for j in range(n_j)]
+        section(8 * g, wrs)
+
+    if n_full > 0:
+        def body(g, carry):
+            group(g, 8)
+            return carry
+
+        lax.fori_loop(0, n_full, body, 0)
+    if D % 8:
+        group(n_full, D % 8)
 
 
-def _copy_window(wru_ref, win_scr, r: int, P: int, w_b: int):
-    s_r = (8 - r) % 8
-    win_scr[:] = wru_ref[0, :, s_r:s_r + P + w_b, :]
-
-
-def _h_kernel(wl_ref, wru_ref, ca_ref, cb_ref, den_ref, out_ref, win_scr, *,
+def _h_kernel(wl_ref, wru_ref, ca_ref, cb_ref, den_ref, out_ref, *,
               radius: int, eps: float, w_b: int, P: int, D: int, H_out: int):
     T = 2 * radius + 1
     wl = wl_ref[:]
 
-    def section(r, n_k, astart):
-        _copy_window(wru_ref, win_scr, r, P, w_b)
-
-        def body(k, carry):
-            d = 8 * k + r
-            wr = win_scr[:, pl.ds(astart(k), w_b), :]
+    def section(ds, wrs):
+        for j, wr in enumerate(wrs):
+            d = ds + j
             c2 = jnp.concatenate([ca_ref[pl.ds(d, 1)][0],
                                   cb_ref[pl.ds(d, 1)][0]], axis=0)
             num = jnp.full((w_b, H_out), eps, jnp.float32)
             for t in range(T):
                 num = num + (wl[t] * wr[t]) * c2[t:t + w_b]
             out_ref[pl.ds(d, 1)] = (num / den_ref[pl.ds(d, 1)][0])[None]
-            return carry
 
-        lax.fori_loop(0, n_k, body, 0)
-
-    _residue_sections(D, P, section)
+    _group_sections(D, P, w_b, wru_ref, section)
 
 
-def _v_kernel(wl_ref, wru_ref, c_ref, den_ref, out_ref, win_scr, *,
+def _v_kernel(wl_ref, wru_ref, c_ref, den_ref, out_ref, *,
               radius: int, eps: float, w_b: int, P: int, D: int, H_out: int):
     T = 2 * radius + 1
     wl = wl_ref[:]
 
-    def section(r, n_k, astart):
-        _copy_window(wru_ref, win_scr, r, P, w_b)
-
-        def body(k, carry):
-            d = 8 * k + r
-            wr = win_scr[:, pl.ds(astart(k), w_b), :]
+    def section(ds, wrs):
+        for j, wr in enumerate(wrs):
+            d = ds + j
             cd = c_ref[pl.ds(d, 1)][0]                     # (w_b, HL)
             num = jnp.full((w_b, H_out), eps, jnp.float32)
             for t in range(T):
                 num = num + (wl[t] * wr[t]) * cd[:, t:t + H_out]
             out_ref[pl.ds(d, 1)] = (num / den_ref[pl.ds(d, 1)][0])[None]
-            return carry
 
-        lax.fori_loop(0, n_k, body, 0)
-
-    _residue_sections(D, P, section)
+    _group_sections(D, P, w_b, wru_ref, section)
 
 
-def _den_kernel(wl_ref, wru_ref, out_ref, win_scr, *, radius: int,
+def _den_kernel(wl_ref, wru_ref, out_ref, *, radius: int,
                 eps: float, w_b: int, P: int, D: int, H_out: int):
     T = 2 * radius + 1
     wl = wl_ref[:]
 
-    def section(r, n_k, astart):
-        _copy_window(wru_ref, win_scr, r, P, w_b)
-
-        def body(k, carry):
-            d = 8 * k + r
-            wr = win_scr[:, pl.ds(astart(k), w_b), :]
+    def section(ds, wrs):
+        for j, wr in enumerate(wrs):
             den = jnp.full((w_b, H_out), eps, jnp.float32)
             for t in range(T):
                 den = den + wl[t] * wr[t]
-            out_ref[pl.ds(d, 1)] = den[None]
-            return carry
+            out_ref[pl.ds(ds + j, 1)] = den[None]
 
-        lax.fori_loop(0, n_k, body, 0)
-
-    _residue_sections(D, P, section)
+    _group_sections(D, P, w_b, wru_ref, section)
 
 
 def _params(interpret: bool):
@@ -261,7 +264,6 @@ def asw_den_dres(wl_t, wr_t, radius: int, eps: float = 1e-5,
         ],
         out_specs=pl.BlockSpec((D, w_b, H_pad), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((D, W_pad, H_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((T, P + w_b, H_pad), jnp.float32)],
         interpret=interpret,
         **_params(interpret),
     )(wl, wru)
@@ -309,7 +311,6 @@ def asw_hpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
         ],
         out_specs=pl.BlockSpec((D, w_b, H_pad), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((D, W_pad, H_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((T, P + w_b, H_pad), jnp.float32)],
         interpret=interpret,
         **_params(interpret),
     )(wl, wru, cost_p, cost_p, den_p)
@@ -356,7 +357,6 @@ def asw_vpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
         ],
         out_specs=pl.BlockSpec((D, w_b, H_pad), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((D, W_pad, H_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((T, P + w_b, H_pad), jnp.float32)],
         interpret=interpret,
         **_params(interpret),
     )(wl, wru, cost_p, den_p)
@@ -412,7 +412,6 @@ def asw_vpass_dres_win(cost_win, wl_t, wr_t, radius: int, eps: float = 1e-5,
         ],
         out_specs=pl.BlockSpec((D, w_b, H_pad), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((D, W_pad, H_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((T, P + w_b, H_pad), jnp.float32)],
         interpret=interpret,
         **_params(interpret),
     )(wl, wru, cost_p, den_p)

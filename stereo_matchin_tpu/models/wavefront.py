@@ -72,6 +72,26 @@ def _keep(cfg: StereoConfig) -> int:
     return cfg.k_iters * cfg.radius + 1
 
 
+def _canon(g: _Geom) -> _Geom:
+    """Slice-local translation of a band geometry.
+
+    The compiled band program is translation-invariant — every row index
+    it bakes in is a difference of geometry fields — so jitting on the
+    canonical form lets equal-shape bands share one XLA program: with the
+    lane-aligned plan every interior band hits the first interior band's
+    cache entry (~50 s of compile each at BASELINE config 3).  When the
+    slice bottom is unclamped (g1 < H) the frame height is folded down to
+    g1: no window row reaches past g1 (g1 = e + keep + r*R covers the
+    deepest ladder read), so every frame-bottom comparison is equal-false
+    either way; the frame-top arm of each mask is unreachable on a
+    non-first band (plan_bands keeps s - keep - R >= 0)."""
+    if g.first:
+        return g
+    o = g.g0
+    H = (g.g1 if g.g1 < g.H else g.H) - o
+    return _Geom(g.s - o, g.e - o, 0, g.g1 - o, H, g.first, g.last)
+
+
 def plan_bands(H: int, num_bands: int, cfg: StereoConfig, align: int = 128):
     """Band geometries, or None when the wavefront layout's constraints
     don't hold (bands too short for the strips / replica validity).
@@ -407,14 +427,15 @@ def asw_pipeline_wavefront(left, right, cfg: StereoConfig, num_bands: int,
     strips = astrip = None
     for g in geoms:
         l_sl, r_sl = left[g.g0:g.g1], right[g.g0:g.g1]
+        gc = _canon(g)
         if g.first:
-            out, strips, astrip = _first_band(l_sl, r_sl, cfg, g, interpret)
+            out, strips, astrip = _first_band(l_sl, r_sl, cfg, gc, interpret)
         elif g.last:
-            out = _last_band(l_sl, r_sl, strips, astrip, cfg, g, interpret)
+            out = _last_band(l_sl, r_sl, strips, astrip, cfg, gc, interpret)
             strips = astrip = None
         else:
             out, strips, astrip = _mid_band(l_sl, r_sl, strips, astrip,
-                                            cfg, g, interpret)
+                                            cfg, gc, interpret)
         off = g.s - (0 if g.first else g.s - keep)
         piece = {k: lax.slice_in_dim(v, off, off + (g.e - g.s), axis=0)
                  for k, v in out.items()}

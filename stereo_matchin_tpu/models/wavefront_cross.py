@@ -79,6 +79,21 @@ def plan_bands_cross(H: int, num_bands: int, cfg: StereoConfig):
     return geoms if len(geoms) >= 2 else None
 
 
+def _canon_c(g: _GeomC) -> _GeomC:
+    """Slice-local translation (see models/wavefront._canon): the band
+    program bakes in only differences of geometry fields, so equal-shape
+    interior bands share one jit/XLA cache entry.  When g1 is unclamped
+    (g1 < H) the frame height folds to g1: the deepest read of any stage
+    window is row e + 3L + 1 (arm walks below the temp window) < g1 =
+    e + 3L + 3, so bottom masks and clamps are equal either way, and the
+    frame-top mask arm is unreachable (plan keeps s - 2L - 1 >= 0)."""
+    if g.first:
+        return g
+    o = g.g0
+    H = (g.g1 if g.g1 < g.H else g.H) - o
+    return _GeomC(g.s - o, g.e - o, 0, g.g1 - o, H, g.first, g.last)
+
+
 def _pad_rows_edge(arr, n: int, axis: int):
     """Edge-replicate `n` rows at the end of `axis` (frame-bottom clamp)."""
     if n <= 0:
@@ -277,12 +292,13 @@ def cross_pipeline_wavefront(left, right, cfg: StereoConfig,
     strips = None
     for g in geoms:
         l_sl, r_sl = left[g.g0:g.g1], right[g.g0:g.g1]
+        gc = _canon_c(g)
         if g.first:
-            out, strips = _first_band_c(l_sl, r_sl, cfg, g, interpret)
+            out, strips = _first_band_c(l_sl, r_sl, cfg, gc, interpret)
         elif g.last:
-            out, strips = _last_band_c(l_sl, r_sl, strips, cfg, g, interpret)
+            out, strips = _last_band_c(l_sl, r_sl, strips, cfg, gc, interpret)
         else:
-            out, strips = _mid_band_c(l_sl, r_sl, strips, cfg, g, interpret)
+            out, strips = _mid_band_c(l_sl, r_sl, strips, cfg, gc, interpret)
         device_sync(out["final"])
         pieces.append(out)
     initial = jnp.concatenate([p["initial"] for p in pieces], axis=0)
