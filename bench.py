@@ -267,6 +267,44 @@ def bench_config3_cross(runs: int = 2, W: int = 2880, H: int = 1988,
     return (g.e - g.s) * W * cfg.num_disp / best / 1e6
 
 
+def bench_config3_frame(method: str = "asw", warm: int = 2, W: int = 2880,
+                        H: int = 1988, cfg=None, num_bands: int = 5,
+                        interpret: bool = False):
+    """BASELINE config 3, WHOLE-frame wall time through the wavefront
+    drivers (first + interior + last bands, strip carry, per-band sync) —
+    the workload-level number, complementing the steady interior-band
+    metrics above.  One cold frame compiles (interior bands share one
+    canonical program), then the best of `warm` frames is reported."""
+    import jax.numpy as jnp
+
+    from stereo_matchin_tpu import REFERENCE_CONFIG
+    from stereo_matchin_tpu.models import wavefront as wf
+    from stereo_matchin_tpu.models import wavefront_cross as wfc
+
+    rng = np.random.default_rng(0)
+    base = rng.random((H, W, 3), dtype=np.float32)
+    left = jnp.asarray(base)
+    right = jnp.asarray(np.roll(base, 17, axis=1))
+    if method == "asw":
+        if cfg is None:
+            cfg = REFERENCE_CONFIG.replace(d_max=279, aggr_d_chunks=8)
+        run = lambda: wf.asw_pipeline_wavefront(left, right, cfg, num_bands,  # noqa: E731
+                                                interpret)
+    else:
+        if cfg is None:
+            cfg = REFERENCE_CONFIG.replace(d_max=279)
+        run = lambda: wfc.cross_pipeline_wavefront(left, right, cfg,         # noqa: E731
+                                                   max(num_bands - 1, 2),
+                                                   interpret)
+    run()                                   # cold: compile all band programs
+    best = float("inf")
+    for _ in range(warm):
+        t0 = time.perf_counter()
+        run()                               # each band host-syncs internally
+        best = min(best, time.perf_counter() - t0)
+    return H * W * cfg.num_disp / best / 1e6
+
+
 def bench_config4_stream(runs: int = 3, batch: int = 4, W: int = 1242,
                          H: int = 375, cfg=None):
     """BASELINE config 4 (batched video-rate stream at KITTI resolution,
@@ -489,6 +527,16 @@ def main() -> int:
             {"metric": "config3_cross_band_2880x1988_280d_throughput",
              "value": None, "unit": "Mdisp/s", "error": repr(e)[:200]}),
             flush=True)
+    # Whole-frame config-3 wall time (first/last-band overhead included).
+    for method, anchor in (("asw", 17.5), ("cross", 91.5)):
+        name = f"config3_frame_{method}_2880x1988_280d_throughput"
+        try:
+            b = bench_config3_frame(method)
+            emit(name, b, b / anchor)
+        except Exception as e:  # noqa: BLE001 — bench must report what it can
+            print(json.dumps({"metric": name, "value": None,
+                              "unit": "Mdisp/s", "error": repr(e)[:200]}),
+                  flush=True)
 
     # BASELINE config 4: batched video-rate stream at KITTI resolution
     # (fallback ladder inside — `mode` records which rung produced it).

@@ -21,7 +21,9 @@ def clamp(v, lo, hi):
 
 
 def unorm8(v):
-    return F(np.round(F(v) * F(255.0)) / F(255.0))
+    # Ties toward zero — the reference device's measured UNORM8 write
+    # conversion (see ops/common.py unorm8 for the golden-map evidence).
+    return F(np.ceil(F(v) * F(255.0) - F(0.5)) / F(255.0))
 
 
 # --- median.cl --------------------------------------------------------------

@@ -38,6 +38,14 @@ def test_config3_cross_wavefront_path():
     assert rate > 0
 
 
+def test_config3_frame_paths():
+    for method in ("asw", "cross"):
+        rate = bench.bench_config3_frame(method, warm=1, W=32, H=64,
+                                         cfg=TOY, num_bands=4,
+                                         interpret=True)
+        assert rate > 0
+
+
 def test_anchors_cover_all_pairs():
     for m in ("asw", "cross"):
         for p in ("tsukuba", "teddy", "cones", "art", "laundry"):
