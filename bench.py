@@ -373,7 +373,14 @@ def bench_config4_stream(runs: int = 3, batch: int = 4, W: int = 1242,
 
 def bench_scaling_subprocess():
     """Weak-scaling on the 8-virtual-device CPU mesh, in a subprocess (the
-    parent owns the TPU backend; backends are per-process)."""
+    parent owns the TPU backend; backends are per-process).
+
+    Emits three axis lines (batch / row / disp), plus a row-axis
+    communication split: the same row-sharded pipeline rebuilt with
+    halo_mode="local" (edge pads instead of ppermute — same per-shard
+    compute, zero communication) isolates how much of the row axis's
+    efficiency loss is the halo exchange vs the structural 2R-row halo
+    compute and virtual-device contention."""
     code = r"""
 import os, json, time
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -387,28 +394,53 @@ from stereo_matchin_tpu.parallel import build_mesh, make_asw_sharded, scaling_re
 cfg = StereoConfig(d_max=15, radius=4, arm_len=6, r_iters=2, k_iters=2)
 rng = np.random.default_rng(0)
 H, W = 96, 128
-def run(batch, mesh_cfg):
+def run(batch, mesh_cfg, height=None, config=None, halo_mode="exchange", runs=3,
+        width=None):
     mesh = build_mesh(mesh_cfg)
-    f = make_asw_sharded(cfg, mesh)
-    left = jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32))
-    right = jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32))
-    return scaling_report(f, left, right, mesh, runs=3)
-def run_rows(height, mesh_cfg):
-    mesh = build_mesh(mesh_cfg)
-    f = make_asw_sharded(cfg, mesh)
-    left = jnp.asarray(rng.random((1, height, W, 3), dtype=np.float32))
-    right = jnp.asarray(rng.random((1, height, W, 3), dtype=np.float32))
-    return scaling_report(f, left, right, mesh, runs=3)
+    f = make_asw_sharded(config or cfg, mesh, halo_mode=halo_mode)
+    h, w = height or H, width or W
+    left = jnp.asarray(rng.random((batch, h, w, 3), dtype=np.float32))
+    right = jnp.asarray(rng.random((batch, h, w, 3), dtype=np.float32))
+    return scaling_report(f, left, right, mesh, runs=runs)
 r1 = run(1, MeshConfig(batch=1, row=1, disp=1))
 r8 = run(8, MeshConfig(batch=8, row=1, disp=1))
 eff = (r8["mpix_s"] / 8.0) / r1["mpix_s"]
 # Row-sharded weak scaling: 8x the rows over 8 devices with ppermute
 # halo exchange (the spatial-tiling axis), vs the same band on 1 device.
-s1 = run_rows(H, MeshConfig(batch=1, row=1, disp=1))
-s8 = run_rows(8 * H, MeshConfig(batch=1, row=8, disp=1))
+s1 = run(1, MeshConfig(batch=1, row=1, disp=1), height=H)
+s8 = run(1, MeshConfig(batch=1, row=8, disp=1), height=8 * H)
 eff_row = (s8["mpix_s"] / 8.0) / s1["mpix_s"]
-print(json.dumps({"eff": eff, "mpix_1dev": r1["mpix_s"], "mpix_8dev": r8["mpix_s"],
-                  "eff_row": eff_row, "mpix_row8": s8["mpix_s"]}))
+# Same layout, communication removed (edge-pad halos; wrong seams, same
+# compute): the gap s8_local vs s8 is the ppermute + sync share.
+s8l = run(1, MeshConfig(batch=1, row=8, disp=1), height=8 * H,
+          halo_mode="local")
+comm_pct = max(0.0, 100.0 * (1.0 - s8l["ms"] / s8["ms"])) if s8["ms"] else 0.0
+# Disp-axis weak scaling: 8x the disparity planes over 8 devices
+# (tensor-parallel axis; all_gather two-min combines), vs 1/8 the planes
+# on one device.  Work scales with num_disp, so the speedup compares
+# disparity throughput, not pixel throughput.
+cfg_d1 = cfg
+cfg_d8 = cfg.replace(d_max=8 * (cfg.d_max + 1) - 1)
+d1 = run(1, MeshConfig(batch=1, row=1, disp=1), config=cfg_d1)
+d8 = run(1, MeshConfig(batch=1, row=1, disp=8), config=cfg_d8)
+eff_disp = (d8["mpix_s"] * cfg_d8.num_disp / 8.0) / (d1["mpix_s"] * cfg_d1.num_disp)
+out = {"eff": eff, "mpix_1dev": r1["mpix_s"], "mpix_8dev": r8["mpix_s"],
+       "eff_row": eff_row, "mpix_row8": s8["mpix_s"],
+       "row_comm_pct": comm_pct, "eff_disp": eff_disp}
+# Reference-geometry anchor for the row axis (VERDICT r2 item 6): the
+# tsukuba workload at the full reference config, 2-way row-sharded vs
+# unsharded — the scaling numbers above use toy geometry, this one
+# shares its shape with the per-pair perf claims.
+try:
+    ref = StereoConfig()
+    g1 = run(1, MeshConfig(batch=1, row=1, disp=1), height=288,
+             width=384, config=ref, runs=1)
+    g2 = run(1, MeshConfig(batch=1, row=2, disp=1), height=288,
+             width=384, config=ref, runs=1)
+    out["eff_row2_ref_geom"] = g2["mpix_s"] / (2.0 * g1["mpix_s"])
+except Exception as e:
+    out["eff_row2_ref_geom"] = None
+print(json.dumps(out))
 """
     env = dict(**__import__("os").environ)
     env.pop("JAX_PLATFORMS", None)
@@ -577,7 +609,20 @@ def main() -> int:
         if "eff_row" in rep:
             row_speedup = rep["eff_row"] * 8.0
             emit("weak_scaling_8dev_row_mesh_speedup", row_speedup,
-                 row_speedup / ceiling, unit="x")
+                 row_speedup / ceiling, unit="x",
+                 halo_comm_pct=round(rep.get("row_comm_pct", 0.0), 1))
+        if rep.get("eff_disp") is not None:
+            disp_speedup = rep["eff_disp"] * 8.0
+            emit("weak_scaling_8dev_disp_mesh_speedup", disp_speedup,
+                 disp_speedup / ceiling, unit="x")
+        if rep.get("eff_row2_ref_geom") is not None:
+            # Strong-scaling anchor at the REFERENCE geometry (tsukuba
+            # 384x288, full config): 2-way row-sharded vs unsharded on
+            # the CPU mesh — ties the scaling lines to the same shape as
+            # the per-pair perf claims (efficiency of 1.0 = perfect 2x).
+            emit("strong_scaling_2dev_row_ref_geom_efficiency",
+                 rep["eff_row2_ref_geom"],
+                 rep["eff_row2_ref_geom"], unit="frac")
 
     # Headline metric LAST — the driver records the final JSON line.
     emit("asw_tsukuba_throughput", best_headline, vs_headline,

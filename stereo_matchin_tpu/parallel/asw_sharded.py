@@ -53,13 +53,31 @@ def _to_image(d, cfg: StereoConfig):
     return ops.unorm8(img) if cfg.quantize_maps else img
 
 
+def _local_halo(x, halo: int, axis_name: str, axis: int = 0):
+    """Edge-pad stand-in for exchange_halo — DIAGNOSTIC ONLY.
+
+    Same shapes and same per-shard compute as the real exchange, but the
+    halo rows are the shard's own replicated edges instead of the
+    neighbour's data, so seam values are WRONG on multi-shard rows.
+    Timing a pipeline built with halo_mode="local" against the real one
+    isolates the communication + synchronisation share of the row axis
+    (bench.py's weak-scaling comm-overhead line)."""
+    if halo <= 0:
+        return x, 0
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (halo, halo)
+    return jnp.pad(x, pad, mode="edge"), halo
+
+
 def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
-              n_row: int, platform: str = "cpu"):
+              n_row: int, platform: str = "cpu",
+              halo_mode: str = "exchange"):
     """Per-(row, disp)-shard ASW pipeline for one stereo pair.
 
     left/right: (H_loc, W, 3) local row strips (replicated over disp).
     Returns per-shard row strips of every output map.
     """
+    exchange = exchange_halo if halo_mode == "exchange" else _local_halo
     R = cfg.radius
     H_loc, W = left.shape[0], left.shape[1]
     H_glob = H_loc * n_row
@@ -67,8 +85,8 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
     d0 = (lax.axis_index(AXIS_DISP) * d_local).astype(jnp.int32)
 
     halo_img = max(R, 1)
-    left_pad, _ = exchange_halo(left, halo_img, AXIS_ROW)
-    right_pad, _ = exchange_halo(right, halo_img, AXIS_ROW)
+    left_pad, _ = exchange(left, halo_img, AXIS_ROW)
+    right_pad, _ = exchange(right, halo_img, AXIS_ROW)
 
     # Support strips (centre rows only; global-coordinate distance term).
     sw = partial(ops_tiled.support_weights_tiled, radius=R,
@@ -115,7 +133,7 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
         def aggr_body(c, _):
             # carry the volume transposed (D, W, H_loc): the row halo is
             # the lane axis here.
-            c_pad, _ = exchange_halo(c, R, AXIS_ROW, axis=2)
+            c_pad, _ = exchange(c, R, AXIS_ROW, axis=2)
             full = asw_vpass_dres(c_pad, wv_l_t, wv_r_t, R, cfg.eps,
                                   interpret=interp, d0=d0,
                                   max_shift=d_pad - 1)
@@ -135,7 +153,7 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
         wv_r_p = jnp.pad(wv_r, [(0, 0), (R, R), (0, 0)], mode="edge")
 
         def aggr_body(c, _):
-            c_pad, _ = exchange_halo(c, R, AXIS_ROW, axis=1)
+            c_pad, _ = exchange(c, R, AXIS_ROW, axis=1)
             # Run the kernel over the haloed tile and crop the centre: the
             # kernel's own edge pad only feeds the cropped halo rows, so
             # centre outputs read exactly the exchanged halo (bit-exact vs
@@ -150,7 +168,7 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
             return ch, None
     else:
         def aggr_body(c, _):
-            c_pad, _ = exchange_halo(c, R, AXIS_ROW, axis=1)
+            c_pad, _ = exchange(c, R, AXIS_ROW, axis=1)
             cv, _den = ops_tiled.asw_vpass_tiled(c_pad, wv_l, wv_r, d0,
                                                  d_local, d_pad, R, cfg.eps)
             ch, _ = ops_tiled.asw_hpass(cv, wh_l, wh_r, d0, d_local, d_pad,
@@ -182,10 +200,15 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
 
     def ref_body(state, _):
         filled_q, right_q, conf_ref, conf_tar = state
-        fq_pad, _ = exchange_halo(filled_q, R, AXIS_ROW)
-        cr_pad, _ = exchange_halo(conf_ref, R, AXIS_ROW)
-        rq_pad, _ = exchange_halo(right_q, R, AXIS_ROW)
-        ct_pad, _ = exchange_halo(conf_tar, R, AXIS_ROW)
+        # One ppermute for all four same-shape maps (stacked on a leading
+        # axis) instead of four: the exchanged bytes are identical but
+        # latency-bound rings pay per collective, and the row-axis
+        # ablation (halo_mode="local") measured the exchange at ~20% of
+        # the row-sharded runtime with most of it in the k-loop's four
+        # per-iteration exchanges.
+        stacked = jnp.stack([filled_q, right_q, conf_ref, conf_tar])
+        st_pad, _ = exchange(stacked, R, AXIS_ROW, axis=1)
+        fq_pad, rq_pad, cr_pad, ct_pad = (st_pad[i] for i in range(4))
         vv_l, dv_l = ops_tiled.refine_vpass_tiled(rv_l, fq_pad, cr_pad, R,
                                                   cfg.eps)
         val_l, den_l = ops.refine_pass_h(rh_l, vv_l, dv_l, conf_ref, R, cfg.eps)
@@ -212,7 +235,7 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
     red_post = reds[-1] if cfg.k_iters > 0 else red_pre
 
     filled_img = filled_q / cfg.d_max
-    fi_pad, _ = exchange_halo(filled_img, 1, AXIS_ROW)
+    fi_pad, _ = exchange(filled_img, 1, AXIS_ROW)
     disparity = ops_tiled.median3x3_tiled(fi_pad)
     return ShardedASWResult(
         disparity=disparity,
@@ -224,12 +247,18 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
     )
 
 
-def make_asw_sharded(cfg: StereoConfig, mesh: Mesh):
+def make_asw_sharded(cfg: StereoConfig, mesh: Mesh,
+                     halo_mode: str = "exchange"):
     """Build the jitted sharded ASW pipeline over `mesh`.
 
     Returns f(left, right) for global (B, H, W, 3) arrays with
     B % mesh.batch == 0 and H % mesh.row == 0.  Output maps are
     (B, H, W[, 3]) sharded over (batch, row).
+
+    halo_mode: "exchange" (default) ppermutes real neighbour halos;
+    "local" edge-pads instead — same compute, NO communication, wrong
+    seam values — for isolating the row axis's comm share in scaling
+    diagnostics (see _local_halo).
     """
     n_row = mesh.shape[AXIS_ROW]
     n_disp = mesh.shape[AXIS_DISP]
@@ -240,7 +269,7 @@ def make_asw_sharded(cfg: StereoConfig, mesh: Mesh):
 
     def local_fn(left, right):  # (B_loc, H_loc, W, 3)
         tile = partial(_asw_tile, cfg=cfg, d_local=d_local, d_pad=d_pad,
-                       n_row=n_row, platform=platform)
+                       n_row=n_row, platform=platform, halo_mode=halo_mode)
         return jax.vmap(tile)(left, right)
 
     img_spec = P(AXIS_BATCH, AXIS_ROW, None, None)

@@ -213,3 +213,20 @@ def test_sharded_asw_dres_kernels():
                                rtol=1e-5, atol=1e-5)
     flips = int((got.disparity != np.asarray(ref.disparity)).sum())
     assert flips <= 3, f"{flips} disparity flips (expected near-tie only)"
+
+
+def test_sharded_asw_local_halo_mode(pair, reference):
+    """halo_mode="local" (the scaling diagnostic: edge pads instead of
+    ppermute) runs the same compute with zero communication.  It must be
+    exact on a 1-row-shard mesh (no seams to fake) and must DIFFER at
+    multi-shard seams — proof it actually removed the exchange."""
+    left, right = pair
+    f1 = make_asw_sharded(CFG, build_mesh(MeshConfig(batch=2, row=1, disp=1)),
+                          halo_mode="local")
+    got1 = jax.tree.map(np.asarray, f1(left, right))
+    np.testing.assert_array_equal(got1.disparity, reference.disparity)
+
+    f4 = make_asw_sharded(CFG, build_mesh(MeshConfig(batch=1, row=4, disp=1)),
+                          halo_mode="local")
+    got4 = jax.tree.map(np.asarray, f4(left, right))
+    assert not np.array_equal(got4.disparity, reference.disparity)
