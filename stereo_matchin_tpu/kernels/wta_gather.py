@@ -47,6 +47,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .asw_aggregation import _pad_cols, _pad_rows
 
+# The block-size heuristics below bound the STREAMED buffers but not the
+# kernel bodies' temporaries (vals/masks/one-hot splits), which Mosaic
+# also allocates on the scoped-VMEM stack: at KITTI width (1242 -> 1536
+# lanes, D=64) two_min_pallas overflowed the 16 MB DEFAULT scoped limit
+# by 48 KB and killed the config-4 batched compile.  The chip has 128 MB
+# of VMEM; grant these kernels half of it like the dres aggregation
+# kernels do — the allocator still only uses what the program needs.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _vmem_params(interpret: bool):
+    if interpret:
+        return {}
+    return {"compiler_params":
+            pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)}
+
 
 def build_diag(cost):
     """Diagonal-sheared volume, (H, D, K) with K = W + D - 1:
@@ -257,6 +273,7 @@ def two_min_pallas(cost, penalty_scale=None, penalty_center=None,
         out_specs=[map_spec, map_spec, map_spec],
         out_shape=[out_shape, out_shape, out_shape],
         interpret=interpret,
+        **_vmem_params(interpret),
     )(sc, ct, cost_p)
     crop = lambda a: a[:H, :W]
     return crop(c1), crop(c2), crop(d).astype(jnp.int32)
@@ -328,6 +345,7 @@ def wta_diag_pallas(diag_hdk, d1, penalty_scale=None, penalty_center=None,
         out_specs=[map_spec, map_spec, map_spec, map_spec],
         out_shape=[out_shape, out_shape, out_shape, out_shape],
         interpret=interpret,
+        **_vmem_params(interpret),
     )(d1f, sc, ct, diag_p, diag_p)
     crop = lambda a: a[:H, :W]
     return crop(c1), crop(c2), crop(d), crop(base)
