@@ -464,6 +464,13 @@ def main() -> int:
 
     import jax
 
+    from stereo_matchin_tpu.utils import enable_compilation_cache
+
+    # Persistent compile cache: the config-3 band programs cost minutes
+    # of compile per fresh process; cached artifacts return in ~1 s
+    # (measured through the axon relay — see utils/compilation_cache.py).
+    enable_compilation_cache()
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     else:

@@ -223,6 +223,9 @@ def cmd_synth(args) -> int:
 
 
 def main(argv=None) -> int:
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="stereo_matchin_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -71,3 +71,16 @@ def test_pair_loader(native):
         assert left.dtype == np.float32
         seen += 1
     assert seen == 3
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    from stereo_matchin_tpu.utils import enable_compilation_cache
+
+    monkeypatch.setenv("STEREO_TPU_NO_COMPILE_CACHE", "1")
+    assert enable_compilation_cache() is None
+    monkeypatch.delenv("STEREO_TPU_NO_COMPILE_CACHE")
+    d = str(tmp_path / "xla")
+    assert enable_compilation_cache(d) == d
+    import os
+
+    assert os.path.isdir(d)
