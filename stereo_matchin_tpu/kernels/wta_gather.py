@@ -227,25 +227,50 @@ def _two_min_kernel(sc_ref, ct_ref, cost_ref, c1_ref, c2_ref, d_ref, *,
     d_ref[:] = jnp.where(is_last, jnp.where(any_update, dr, 0.0), dr)
 
 
-@functools.partial(jax.jit, static_argnames=("big", "interpret"))
-def two_min_pallas(cost, penalty_scale=None, penalty_center=None,
-                   big: float = 1e5, interpret: bool = False):
-    """ops.two_min_scan(cost, penalty_scale*|penalty_center - d|) on TPU:
-    returns (c1, c2, d1[int32]), bit-identical to the XLA scan (the
-    penalty product order matches wta_refined_fast's
-    (penalty*den)*|ref - d|)."""
-    D, H, W = cost.shape
+def _two_min_geom(D: int, H: int, W: int):
+    """Block geometry shared by two_min_pallas and two_min_pad."""
     w_b = min(-(-W // 128) * 128, 512)
     n_db = -(-D // 128)
     per_chunk = -(-D // n_db)
     d_block = -(-per_chunk // 8) * 8
-    # Cost block (d_block, y_b, w_b) double-buffered within the default
-    # 16 MB scoped VMEM.
+    # Cost block (d_block, y_b, w_b) double-buffered.
     y_b = min(-(-H // 8) * 8, 64)
     while 8 * d_block * y_b * w_b > 11_000_000 and y_b > 8:
         y_b -= 8
     n_x = -(-W // w_b)
     n_y = -(-H // y_b)
+    return w_b, n_db, d_block, y_b, n_x, n_y
+
+
+@jax.jit
+def two_min_pad(cost):
+    """Pre-pad a cost volume to two_min_pallas's block geometry.
+
+    The pad of a config-3-sized volume costs ~6 ms and the k-loop calls
+    two_min_pallas on the SAME volume every refinement iteration — pad
+    once, pass via `cost_padded` (with the unpadded `cost` still
+    supplying the true shape)."""
+    D, H, W = cost.shape
+    w_b, n_db, d_block, y_b, n_x, n_y = _two_min_geom(D, H, W)
+    W_pad, H_pad, D_pad = n_x * w_b, n_y * y_b, n_db * d_block
+    return jnp.pad(cost.astype(jnp.float32),
+                   [(0, D_pad - D), (0, H_pad - H), (0, W_pad - W)])
+
+
+@functools.partial(jax.jit, static_argnames=("big", "interpret"))
+def two_min_pallas(cost, penalty_scale=None, penalty_center=None,
+                   big: float = 1e5, interpret: bool = False,
+                   cost_padded=None):
+    """ops.two_min_scan(cost, penalty_scale*|penalty_center - d|) on TPU:
+    returns (c1, c2, d1[int32]), bit-identical to the XLA scan (the
+    penalty product order matches wta_refined_fast's
+    (penalty*den)*|ref - d|).
+
+    cost_padded: optional two_min_pad(cost) — hoist it when calling
+    repeatedly on the same volume (the k refinement re-WTAs); `cost`
+    still provides the true shape."""
+    D, H, W = cost.shape
+    w_b, n_db, d_block, y_b, n_x, n_y = _two_min_geom(D, H, W)
     W_pad, H_pad, D_pad = n_x * w_b, n_y * y_b, n_db * d_block
 
     dt = jnp.float32
@@ -255,8 +280,11 @@ def two_min_pallas(cost, penalty_scale=None, penalty_center=None,
     ct = penalty_center if has_pen else zeros
     sc = _pad_cols(_pad_rows(sc.astype(dt), H_pad, axis=0), W_pad)
     ct = _pad_cols(_pad_rows(ct.astype(dt), H_pad, axis=0), W_pad)
-    cost_p = jnp.pad(cost.astype(dt), [(0, D_pad - D), (0, H_pad - H),
-                                       (0, W_pad - W)])
+    if cost_padded is None:
+        cost_p = jnp.pad(cost.astype(dt), [(0, D_pad - D), (0, H_pad - H),
+                                           (0, W_pad - W)])
+    else:
+        cost_p = cost_padded
 
     kernel = functools.partial(_two_min_kernel, D=D, d_block=d_block,
                                n_db=n_db, big=big, has_pen=has_pen)
@@ -279,26 +307,18 @@ def two_min_pallas(cost, penalty_scale=None, penalty_center=None,
     return crop(c1), crop(c2), crop(d).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("big", "interpret"))
-def wta_diag_pallas(diag_hdk, d1, penalty_scale=None, penalty_center=None,
-                    big: float = 1e5, interpret: bool = False):
-    """diag_hdk: (H, D, K) from build_diag; d1: (H, W) float (integer-
-    valued) left winner; optional penalty maps (H, W).
+def _diag_geom(H: int, D: int, K: int):
+    """Block geometry shared by wta_diag_pallas and diag_pad.
 
-    Returns (mc1, mc2, md, base), each (H, W) f32 — the unclamped-probe
-    two-min (big-capped, fallback d1) and the tail base plane, matching
-    the XLA helpers bit-exactly.
-    """
-    H, D, K = diag_hdk.shape
+    Lane blocking: w_b >= D-1 so two consecutive k-blocks cover every
+    probe of an x-block; at large D the k-span cannot shrink, so the
+    D axis is chunked instead (d_block planes per grid step) to keep
+    the diag operand pair within VMEM at any geometry.
+    Minimal lane block: the gather MACs scale with w_b (each output
+    column contracts over 2*w_b one-hot rows), so the smallest legal
+    block — max(128, D-1 rounded up) — is ~4x fewer MXU passes than the
+    former 512 at teddy geometry."""
     W = K - (D - 1)
-    # Lane blocking: w_b >= D-1 so two consecutive k-blocks cover every
-    # probe of an x-block; at large D the k-span cannot shrink, so the
-    # D axis is chunked instead (d_block planes per grid step) to keep
-    # the diag operand pair within VMEM at any geometry.
-    # Minimal lane block: the gather MACs scale with w_b (each output
-    # column contracts over 2*w_b one-hot rows), so the smallest legal
-    # block — max(128, D-1 rounded up) — is ~4x fewer MXU passes than the
-    # former 512 at teddy geometry.
     d_floor = max(128, -(-(D - 1) // 128) * 128)
     w_b = max(d_floor, min(-(-W // 128) * 128, 128))
     n_db = -(-D // 128)
@@ -317,6 +337,43 @@ def wta_diag_pallas(diag_hdk, d1, penalty_scale=None, penalty_center=None,
     n_y = -(-H // y_b)
     H_pad = n_y * y_b
     D_pad = n_db * d_block
+    K_pad = (n_x + 1) * w_b
+    return w_b, n_db, d_block, y_b, n_x, n_y, W_pad, H_pad, D_pad, K_pad
+
+
+@jax.jit
+def diag_pad(diag_hdk):
+    """Pre-pad a build_diag volume to wta_diag_pallas's block geometry.
+
+    The pad of a config-3-sized sheared volume (~2 GB) costs ~6 ms per
+    call and the k-loop re-WTAs gather from the SAME volume every
+    iteration — pad once, pass via `diag_padded` (with the unpadded
+    `diag_hdk` still supplying the true shape)."""
+    H, D, K = diag_hdk.shape
+    *_, W_pad, H_pad, D_pad, K_pad = _diag_geom(H, D, K)
+    return jnp.pad(diag_hdk.astype(jnp.float32),
+                   [(0, H_pad - H), (0, D_pad - D), (0, K_pad - K)])
+
+
+@functools.partial(jax.jit, static_argnames=("big", "interpret"))
+def wta_diag_pallas(diag_hdk, d1, penalty_scale=None, penalty_center=None,
+                    big: float = 1e5, interpret: bool = False,
+                    diag_padded=None):
+    """diag_hdk: (H, D, K) from build_diag; d1: (H, W) float (integer-
+    valued) left winner; optional penalty maps (H, W).
+
+    Returns (mc1, mc2, md, base), each (H, W) f32 — the unclamped-probe
+    two-min (big-capped, fallback d1) and the tail base plane, matching
+    the XLA helpers bit-exactly.
+
+    diag_padded: optional diag_pad(diag_hdk), hoisted by callers that
+    re-WTA the same volume (the k-loop); diag_hdk still provides the
+    true shape.
+    """
+    H, D, K = diag_hdk.shape
+    W = K - (D - 1)
+    (w_b, n_db, d_block, y_b, n_x, n_y,
+     W_pad, H_pad, D_pad, K_pad) = _diag_geom(H, D, K)
 
     dt = jnp.float32
     d1f = _pad_cols(_pad_rows(d1.astype(dt), H_pad, axis=0), W_pad)
@@ -325,9 +382,11 @@ def wta_diag_pallas(diag_hdk, d1, penalty_scale=None, penalty_center=None,
     ct = penalty_center if penalty_center is not None else zeros
     sc = _pad_cols(_pad_rows(sc.astype(dt), H_pad, axis=0), W_pad)
     ct = _pad_cols(_pad_rows(ct.astype(dt), H_pad, axis=0), W_pad)
-    K_pad = (n_x + 1) * w_b
-    diag_p = jnp.pad(diag_hdk.astype(dt),
-                     [(0, H_pad - H), (0, D_pad - D), (0, K_pad - K)])
+    if diag_padded is None:
+        diag_p = jnp.pad(diag_hdk.astype(dt),
+                         [(0, H_pad - H), (0, D_pad - D), (0, K_pad - K)])
+    else:
+        diag_p = diag_padded
 
     kernel = functools.partial(_diag_wta_kernel, D=D, W=W, big=big,
                                y_block=y_b, w_block=w_b, d_block=d_block,

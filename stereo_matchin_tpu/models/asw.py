@@ -325,13 +325,19 @@ def asw_postaggregate_impl(aggr: jax.Array, left: jax.Array,
     # shear the WTA target scans gather from is hoisted and built once —
     # after the crop, so the shear covers only the rows still needed.
     if jax.default_backend() in ("tpu", "axon"):
-        from ..kernels.wta_gather import build_diag
+        from ..kernels.wta_gather import build_diag, diag_pad, two_min_pad
 
         diag = build_diag(aggr)
+        # The kernels' block pads are k-loop constants too (~6 ms each on
+        # a config-3-sized volume, x7 WTA calls) — hoist them with the
+        # shear.
+        diag_p = diag_pad(diag)
+        cost_p = two_min_pad(aggr)
     else:
-        diag = None
+        diag = diag_p = cost_p = None
 
-    res = ops.wta_fast(aggr, big=cfg.big, diag=diag)
+    res = ops.wta_fast(aggr, big=cfg.big, diag=diag, diag_padded=diag_p,
+                       cost_padded=cost_p)
     wta_left_img = _to_image(res.disp_ref, cfg)
     wta_right_img = _to_image(res.disp_target, cfg)
 
@@ -346,7 +352,8 @@ def asw_postaggregate_impl(aggr: jax.Array, left: jax.Array,
         val_l, den_l = ops.refine_view(rv_l, rh_l, filled_q, conf_ref, R, cfg.eps)
         val_r, den_r = ops.refine_view(rv_r, rh_r, right_q, conf_tar, R, cfg.eps)
         r = ops.wta_refined_fast(aggr, val_l, den_l, val_r, den_r,
-                                 cfg.penalty, big=cfg.big, diag=diag)
+                                 cfg.penalty, big=cfg.big, diag=diag,
+                                 diag_padded=diag_p, cost_padded=cost_p)
         if cfg.wta_ref_conf_bug:
             # asw_wta_ref.cl:63-66: reference confidence gets the TARGET
             # confidence; the target buffer keeps its previous value.
@@ -441,13 +448,19 @@ def asw_pipeline_debug_impl(left, right, cfg: StereoConfig) -> ASWDebug:
                                         length=cfg.r_iters)
 
     if jax.default_backend() in ("tpu", "axon"):
-        from ..kernels.wta_gather import build_diag
+        from ..kernels.wta_gather import build_diag, diag_pad, two_min_pad
 
         diag = build_diag(aggr)
+        # The kernels' block pads are k-loop constants too (~6 ms each on
+        # a config-3-sized volume, x7 WTA calls) — hoist them with the
+        # shear.
+        diag_p = diag_pad(diag)
+        cost_p = two_min_pad(aggr)
     else:
-        diag = None
+        diag = diag_p = cost_p = None
 
-    res = ops.wta_fast(aggr, big=cfg.big, diag=diag)
+    res = ops.wta_fast(aggr, big=cfg.big, diag=diag, diag_padded=diag_p,
+                       cost_padded=cost_p)
     wta_left_img = _to_image(res.disp_ref, cfg)
     wta_right_img = _to_image(res.disp_target, cfg)
     cons = ops.consistency(wta_left_img * cfg.d_max,
@@ -468,7 +481,8 @@ def asw_pipeline_debug_impl(left, right, cfg: StereoConfig) -> ASWDebug:
         val_r, den_r = ops.refine_view(rv_r, rh_r, right_q, conf_tar, R,
                                        cfg.eps)
         r = ops.wta_refined_fast(aggr, val_l, den_l, val_r, den_r,
-                                 cfg.penalty, big=cfg.big, diag=diag)
+                                 cfg.penalty, big=cfg.big, diag=diag,
+                                 diag_padded=diag_p, cost_padded=cost_p)
         if cfg.wta_ref_conf_bug:
             new_conf_ref, new_conf_tar = r.conf_target, conf_tar
         else:

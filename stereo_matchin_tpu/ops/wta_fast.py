@@ -102,7 +102,7 @@ def _gather_diagonal_mxu(cost, d1):
 
 
 def _target_scan_fast(cost, d1, penalty_scale=None, penalty_center=None,
-                      big: float = 1e5, diag=None):
+                      big: float = 1e5, diag=None, diag_padded=None):
     """Exact vectorised asw_wta.cl:55-67 / asw_wta_ref.cl:40-51 target scan.
 
     diag: optional (H, D, K) sheared volume from kernels.wta_gather.
@@ -120,7 +120,8 @@ def _target_scan_fast(cost, d1, penalty_scale=None, penalty_center=None,
         if diag is None:
             diag = build_diag(cost)
         mc1, mc2, mdf, base = wta_diag_pallas(
-            diag, d1.astype(dt), penalty_scale, penalty_center, big)
+            diag, d1.astype(dt), penalty_scale, penalty_center, big,
+            diag_padded=diag_padded)
         md = mdf.astype(jnp.int32)
         b0 = jnp.maximum(d1 - xs, 0)
         return _tail_and_merge(d1, xs, mc1, mc2, md, base, b0,
@@ -178,7 +179,8 @@ def _tail_and_merge(d1, xs, mc1, mc2, md, base, b0, penalty_scale,
     return d, conf
 
 
-def _two_min(cost, pen_scale=None, pen_center=None, big: float = 1e5):
+def _two_min(cost, pen_scale=None, pen_center=None, big: float = 1e5,
+             cost_padded=None):
     """Reference-view two-min: the TPU path streams the volume through
     the Pallas kernel and forms the penalty in-register (the XLA form
     materialises a (D, H, W) penalty volume per refinement iteration);
@@ -186,7 +188,8 @@ def _two_min(cost, pen_scale=None, pen_center=None, big: float = 1e5):
     if jax.default_backend() in ("tpu", "axon"):
         from ..kernels.wta_gather import two_min_pallas
 
-        return two_min_pallas(cost, pen_scale, pen_center, big=big)
+        return two_min_pallas(cost, pen_scale, pen_center, big=big,
+                              cost_padded=cost_padded)
     if pen_scale is None:
         return two_min_scan(cost, big=big)
     ds = jnp.arange(cost.shape[0], dtype=cost.dtype)[:, None, None]
@@ -194,28 +197,37 @@ def _two_min(cost, pen_scale=None, pen_center=None, big: float = 1e5):
     return two_min_scan(cost, penalty=pen, big=big)
 
 
-def wta_fast(cost, big: float = 1e5, diag=None) -> WTAResult:
+def wta_fast(cost, big: float = 1e5, diag=None, diag_padded=None,
+             cost_padded=None) -> WTAResult:
     """Drop-in replacement for ops.wta (bit-identical results).
 
-    diag: optional precomputed build_diag(cost) (see _target_scan_fast)."""
-    c1, c2, d1 = _two_min(cost, big=big)
+    diag: optional precomputed build_diag(cost) (see _target_scan_fast).
+    diag_padded / cost_padded: their pre-padded forms (wta_gather.
+    diag_pad / two_min_pad) — hoist them alongside diag when re-WTAing
+    the same volume; each saves a volume-sized pad per call."""
+    c1, c2, d1 = _two_min(cost, big=big, cost_padded=cost_padded)
     conf_ref = (c2 - c1) / c2
-    d_t, conf_t = _target_scan_fast(cost, d1, big=big, diag=diag)
+    d_t, conf_t = _target_scan_fast(cost, d1, big=big, diag=diag,
+                                    diag_padded=diag_padded)
     return WTAResult(d1.astype(cost.dtype), conf_ref,
                      d_t.astype(cost.dtype), conf_t)
 
 
 def wta_refined_fast(cost, ref_value, ref_denom, ref_value_t, ref_denom_t,
-                     penalty: float, big: float = 1e5, diag=None) -> WTAResult:
+                     penalty: float, big: float = 1e5, diag=None,
+                     diag_padded=None, cost_padded=None) -> WTAResult:
     """Drop-in replacement for ops.wta_refined (bit-identical results).
 
     diag: optional precomputed build_diag(cost) — the k-loop calls this
     on the SAME aggregated volume every iteration, so the caller hoists
-    the shear (main.cpp re-reads asw_cost_buffer[1] per launch)."""
-    c1, c2, d1 = _two_min(cost, penalty * ref_denom, ref_value, big=big)
+    the shear (main.cpp re-reads asw_cost_buffer[1] per launch);
+    diag_padded / cost_padded hoist the kernels' block pads the same way."""
+    c1, c2, d1 = _two_min(cost, penalty * ref_denom, ref_value, big=big,
+                          cost_padded=cost_padded)
     conf_ref = (c2 - c1) / c2
     d_t, conf_t = _target_scan_fast(
         cost, d1, penalty_scale=penalty * ref_denom_t,
-        penalty_center=ref_value_t, big=big, diag=diag)
+        penalty_center=ref_value_t, big=big, diag=diag,
+        diag_padded=diag_padded)
     return WTAResult(d1.astype(cost.dtype), conf_ref,
                      d_t.astype(cost.dtype), conf_t)
