@@ -151,21 +151,34 @@ def _target_scan_fast(cost, d1, penalty_scale=None, penalty_center=None,
 
 def _tail_and_merge(d1, xs, mc1, mc2, md, base, b0, penalty_scale,
                     penalty_center, big, dt, D, H, W):
-
-    def tail_body(i, carry):
-        c1, c2 = carry
-        v = base
-        if penalty_scale is not None:
-            v = v + penalty_scale * jnp.abs(penalty_center - i.astype(dt))
-        valid = (i > xs) & (i < d1) & (v < big)
-        v = jnp.where(valid, v, jnp.inf)
-        upd = v < c1
-        new_c2 = jnp.where(upd, c1, jnp.minimum(c2, v))
-        new_c1 = jnp.where(upd, v, c1)
-        return new_c1, new_c2
-
-    inf2 = jnp.full((H, W), jnp.inf, dt)
-    tc1, tc2 = lax.fori_loop(1, D - 1, tail_body, (inf2, inf2))
+    # Clamped-tail two-min in CLOSED FORM.  The scanned value
+    # v(i) = base + sc*|ct - i| over the integer interval
+    # i in [lo, hi] = [max(1, x+1), min(D-2, d1-1)] is V-shaped in i, so
+    # the two smallest v's sit at the in-range integer nearest ct and at
+    # its best in-range neighbour — no D-iteration fori (it was ~280
+    # compare/select sweeps over (H, W) at config-3 scale, ~45 ms/band).
+    # Values are bit-identical to the scan: the winning v is computed by
+    # the same f32 expression, v is monotone in |ct - i| so the v < big
+    # mask keeps exactly the near candidates, and ties (ct exactly
+    # half-integer) have EQUAL v on both neighbours — the scan's
+    # first-wins order changes which i wins, never the (c1, c2) values.
+    inf = jnp.float32(jnp.inf)
+    lo = jnp.maximum(jnp.float32(1.0), xs.astype(dt) + 1.0)
+    hi = jnp.minimum(jnp.float32(D - 2), d1.astype(dt) - 1.0)
+    n = hi - lo + 1.0                                    # valid count
+    if penalty_scale is not None:
+        ct = penalty_center
+        p = jnp.clip(jnp.round(ct), lo, hi)              # nearest in range
+        v_of = lambda i: base + penalty_scale * jnp.abs(ct - i)
+        v1 = v_of(p)
+        q_lo = jnp.where(p - 1.0 >= lo, v_of(p - 1.0), inf)
+        q_hi = jnp.where(p + 1.0 <= hi, v_of(p + 1.0), inf)
+        v2 = jnp.minimum(q_lo, q_hi)
+    else:
+        v1 = base
+        v2 = base
+    tc1 = jnp.where((n >= 1.0) & (v1 < big), v1, inf)
+    tc2 = jnp.where((n >= 2.0) & (v2 < big), v2, inf)
     t_any = tc1 < big
     tc1c = jnp.minimum(tc1, big)
     tc2c = jnp.where(t_any, jnp.minimum(tc2, big), big)
