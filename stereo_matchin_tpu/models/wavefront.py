@@ -346,6 +346,11 @@ def _wave_aggregate(lt, rt, strips_in, astrip_in, cfg: StereoConfig,
         if r > 1:
             strips_chunk = lax.dynamic_slice(
                 strips_in, (0, d0, 0, 0), (r - 1, chunk, W, 2 * R))
+            # NOT unrolled: a full unroll would constant-fold offs/lims
+            # and turn the per-level weight/den window slices into static
+            # lane slices (~0.5 ms each saved), but the 6x-inlined ladder
+            # sent the config-3 compile past 9 minutes (re-measured round
+            # 3; same blowup the original design note recorded).
             lvl, tails = lax.scan(level, lvl1, (strips_chunk, offs, lims))
             if emit:
                 # Emitted strips are levels 1..r-1: level 1's tail plus
