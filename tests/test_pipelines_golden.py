@@ -56,6 +56,27 @@ def test_asw_pipeline_matches_goldens(tsukuba):
     assert final.bad2_pct < 0.05, final
 
 
+def test_asw_consistency_diagnostics_match_goldens(tsukuba):
+    """The red-marked consistency diagnostics (consist.cl's diagnostic
+    image, dumped pre- and post-refinement at main.cpp:625-631) are
+    PIXEL-EXACT against the committed goldens since the unorm8 tie fix —
+    every channel of every pixel, including which pixels are red."""
+    from PIL import Image
+
+    from stereo_matchin_tpu.eval.metrics import golden_path
+
+    left, right = tsukuba
+    res = asw.asw_pipeline(left, right, REFERENCE_CONFIG)
+    for name, got in (("asw_consistency_pre-reff.png", res.consistency_pre),
+                      ("asw_consistency_post-reff.png",
+                       res.consistency_post)):
+        gold = np.asarray(Image.open(golden_path("tsukuba", name))
+                          .convert("RGB")).astype(np.int32)
+        g = np.round(np.asarray(got) * 255).astype(np.int32)
+        exact = float((np.abs(g - gold).max(axis=2) == 0).mean())
+        assert exact > 0.999, f"{name}: pixel-exact {exact:.4f}"
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("pair", ["teddy", "cones", "art", "laundry"])
 def test_asw_other_pairs(pair):
