@@ -235,15 +235,64 @@ def _prep(wl_t, wr_t, D: int, w_b: int, d0, max_shift: int):
     return wl, wru, H_pad, P, n_x, W_pad
 
 
+@functools.partial(jax.jit, static_argnames=("radius", "num_disp",
+                                             "max_shift"))
+def dres_prepare(wl_t, wr_t, radius: int, num_disp: int, d0=0,
+                 max_shift: int | None = None):
+    """Padded + unfolded weight operands for the pass kernels.
+
+    The pads and the unfold are invariant across the r aggregation
+    iterations (and, for the unchunked path, across the whole call), but
+    XLA does NOT hoist them out of a lax.scan body — profiler-traced,
+    re-padding the weights every pass cost ~2 ms/frame at tsukuba
+    geometry.  Callers hoist by computing this once (per d-chunk when d0
+    is traced) and passing the result as `prep=` to the pass/den
+    functions.  d0 must satisfy d0 % 8 == 0, as everywhere."""
+    D = num_disp
+    ms = (D - 1) if max_shift is None else max_shift
+    w_b = _w_block(radius, D, wl_t.shape[2])
+    if w_b is None:
+        raise ValueError(
+            f"dres kernels do not fit VMEM at D={D}, H={wl_t.shape[2]}, "
+            f"radius={radius}; gate with dres_vmem_fits()")
+    wl, wru, *_ = _prep(wl_t, wr_t, D, w_b, d0, ms)
+    return wl, wru
+
+
+def _prep_or(prep, wl_t, wr_t, D: int, w_b: int, d0, ms: int):
+    """_prep, or unpack a hoisted dres_prepare result (shapes re-derived
+    statically from the prepared arrays)."""
+    if prep is None:
+        return _prep(wl_t, wr_t, D, w_b, d0, ms)
+    wl, wru = prep
+    H_pad = wl.shape[2]
+    P = _mult(max(D - 1, 1), 8)
+    n_x = wru.shape[0]
+    return wl, wru, H_pad, P, n_x, n_x * w_b
+
+
+def _den_padded(den, D: int, W_pad: int, H_pad: int, W: int, H_out: int):
+    """Pad a denominator to block shape — a no-op when the caller passed
+    an already-padded den (asw_den_dres(crop=False), hoisted)."""
+    if den.shape == (D, W_pad, H_pad):
+        return den
+    return jnp.pad(den, [(0, 0), (0, W_pad - den.shape[1]),
+                         (0, H_pad - den.shape[2])], mode="edge")
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret",
-                                             "num_disp", "max_shift"))
+                                             "num_disp", "max_shift",
+                                             "crop"))
 def asw_den_dres(wl_t, wr_t, radius: int, eps: float = 1e-5,
                  interpret: bool = False, d0=0, num_disp: int | None = None,
-                 max_shift: int | None = None):
+                 max_shift: int | None = None, prep=None, crop: bool = True):
     """eps + sum_t wL*wR_shifted, transposed layout (T, W, H) -> (D, W, H).
 
     Same tap order as the pass kernels, so hoisting it out of the r-loop
     is value-identical (matches asw_aggregation.asw_den_pallas).
+    crop=False returns the block-padded (D, W_pad, H_pad) form the pass
+    kernels consume directly — callers that hoist the den out of the
+    r-loop skip a re-pad per pass that way.
     """
     T, W, H = wl_t.shape
     D = num_disp
@@ -253,7 +302,8 @@ def asw_den_dres(wl_t, wr_t, radius: int, eps: float = 1e-5,
         raise ValueError(
             f"dres kernels do not fit VMEM at D={D}, H={H}, "
             f"radius={radius}; gate with dres_vmem_fits()")
-    wl, wru, H_pad, P, n_x, W_pad = _prep(wl_t, wr_t, D, w_b, d0, ms)
+    wl, wru, H_pad, P, n_x, W_pad = _prep_or(prep, wl_t, wr_t, D, w_b,
+                                             d0, ms)
     out = pl.pallas_call(
         functools.partial(_den_kernel, radius=radius, eps=eps, w_b=w_b,
                           P=P, D=D, H_out=H_pad),
@@ -267,14 +317,14 @@ def asw_den_dres(wl_t, wr_t, radius: int, eps: float = 1e-5,
         interpret=interpret,
         **_params(interpret),
     )(wl, wru)
-    return out[:, :W, :H]
+    return out[:, :W, :H] if crop else out
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret",
                                              "max_shift"))
 def asw_hpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
                    interpret: bool = False, d0=0, den=None,
-                   max_shift: int | None = None):
+                   max_shift: int | None = None, prep=None):
     """Horizontal pass, transposed: cost (D, W, H) -> (D, W, H).
 
     Taps walk W (sublanes): the cost window is two consecutive W-blocks
@@ -290,13 +340,13 @@ def asw_hpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
             f"radius={radius}; gate with dres_vmem_fits()")
     if den is None:
         den = asw_den_dres(wl_t, wr_t, radius, eps, interpret, d0,
-                           num_disp=D, max_shift=ms)
-    wl, wru, H_pad, P, n_x, W_pad = _prep(wl_t, wr_t, D, w_b, d0, ms)
+                           num_disp=D, max_shift=ms, prep=prep)
+    wl, wru, H_pad, P, n_x, W_pad = _prep_or(prep, wl_t, wr_t, D, w_b,
+                                             d0, ms)
     total = (n_x + 1) * w_b
     cost_p = jnp.pad(cost_t, [(0, 0), (radius, total - W - radius),
                               (0, H_pad - H)], mode="edge")
-    den_p = jnp.pad(den, [(0, 0), (0, W_pad - W), (0, H_pad - H)],
-                    mode="edge")
+    den_p = _den_padded(den, D, W_pad, H_pad, W, H)
     cspec = lambda k: pl.BlockSpec((D, w_b, H_pad),
                                    lambda i, k=k: (0, i + k, 0))
     out = pl.pallas_call(
@@ -321,7 +371,7 @@ def asw_hpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
                                              "max_shift"))
 def asw_vpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
                    interpret: bool = False, d0=0, den=None,
-                   max_shift: int | None = None):
+                   max_shift: int | None = None, prep=None):
     """Vertical pass, transposed: cost (D, W, H) -> (D, W, H).
 
     Taps walk H (lanes): static lane slices of the R-lane-padded cost
@@ -338,13 +388,13 @@ def asw_vpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
             f"radius={radius}; gate with dres_vmem_fits()")
     if den is None:
         den = asw_den_dres(wl_t, wr_t, radius, eps, interpret, d0,
-                           num_disp=D, max_shift=ms)
-    wl, wru, H_pad, P, n_x, W_pad = _prep(wl_t, wr_t, D, w_b, d0, ms)
+                           num_disp=D, max_shift=ms, prep=prep)
+    wl, wru, H_pad, P, n_x, W_pad = _prep_or(prep, wl_t, wr_t, D, w_b,
+                                             d0, ms)
     HL = _mult(T - 1 + H_pad, 128)
     cost_p = jnp.pad(cost_t, [(0, 0), (0, W_pad - W),
                               (radius, HL - H - radius)], mode="edge")
-    den_p = jnp.pad(den, [(0, 0), (0, W_pad - W), (0, H_pad - H)],
-                    mode="edge")
+    den_p = _den_padded(den, D, W_pad, H_pad, W, H)
     out = pl.pallas_call(
         functools.partial(_v_kernel, radius=radius, eps=eps, w_b=w_b,
                           P=P, D=D, H_out=H_pad),
@@ -367,7 +417,7 @@ def asw_vpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
                                              "max_shift"))
 def asw_vpass_dres_win(cost_win, wl_t, wr_t, radius: int, eps: float = 1e-5,
                        interpret: bool = False, d0=0, den=None,
-                       max_shift: int | None = None):
+                       max_shift: int | None = None, prep=None):
     """Windowed vertical pass for the wavefront band driver
     (models/wavefront.py).
 
@@ -393,13 +443,13 @@ def asw_vpass_dres_win(cost_win, wl_t, wr_t, radius: int, eps: float = 1e-5,
             f"radius={radius}; gate with dres_vmem_fits()")
     if den is None:
         den = asw_den_dres(wl_t, wr_t, radius, eps, interpret, d0,
-                           num_disp=D, max_shift=ms)
-    wl, wru, H_pad, P, n_x, W_pad = _prep(wl_t, wr_t, D, w_b, d0, ms)
+                           num_disp=D, max_shift=ms, prep=prep)
+    wl, wru, H_pad, P, n_x, W_pad = _prep_or(prep, wl_t, wr_t, D, w_b,
+                                             d0, ms)
     HL = _mult(T - 1 + H_pad, 128)
     cost_p = jnp.pad(cost_win, [(0, 0), (0, W_pad - W), (0, HL - Hw)],
                      mode="edge")
-    den_p = jnp.pad(den, [(0, 0), (0, W_pad - W), (0, H_pad - H_out)],
-                    mode="edge")
+    den_p = _den_padded(den, D, W_pad, H_pad, W, H_out)
     out = pl.pallas_call(
         functools.partial(_v_kernel, radius=radius, eps=eps, w_b=w_b,
                           P=P, D=D, H_out=H_pad),
@@ -425,14 +475,18 @@ def asw_aggregate_dres(cost_t, wv_l_t, wv_r_t, wh_l_t, wh_r_t, radius: int,
     wiring as main.cpp:492-515; denominators hoisted (value-identical —
     the reference recomputes them every pass)."""
     D = cost_t.shape[0]
-    den_v = asw_den_dres(wv_l_t, wv_r_t, radius, eps, interpret, num_disp=D)
-    den_h = asw_den_dres(wh_l_t, wh_r_t, radius, eps, interpret, num_disp=D)
+    prep_v = dres_prepare(wv_l_t, wv_r_t, radius, D)
+    prep_h = dres_prepare(wh_l_t, wh_r_t, radius, D)
+    den_v = asw_den_dres(wv_l_t, wv_r_t, radius, eps, interpret, num_disp=D,
+                         prep=prep_v, crop=False)
+    den_h = asw_den_dres(wh_l_t, wh_r_t, radius, eps, interpret, num_disp=D,
+                         prep=prep_h, crop=False)
 
     def body(c, _):
         cv = asw_vpass_dres(c, wv_l_t, wv_r_t, radius, eps, interpret,
-                            den=den_v)
+                            den=den_v, prep=prep_v)
         ch = asw_hpass_dres(cv, wh_l_t, wh_r_t, radius, eps, interpret,
-                            den=den_h)
+                            den=den_h, prep=prep_h)
         return ch, None
 
     out, _ = lax.scan(body, cost_t, None, length=r_iters)

@@ -135,7 +135,8 @@ def _aggregate_dres(left, right, cfg: StereoConfig, crop: tuple,
     from ..kernels.asw_aggregation_dres import (asw_aggregate_dres,
                                                 asw_den_dres,
                                                 asw_hpass_dres,
-                                                asw_vpass_dres)
+                                                asw_vpass_dres,
+                                                dres_prepare)
 
     R, D = cfg.radius, cfg.num_disp
     H, W = left.shape[:2]
@@ -172,16 +173,22 @@ def _aggregate_dres(left, right, cfg: StereoConfig, crop: tuple,
         return jnp.stack(planes)                     # (chunk, W, H)
 
     def body(acc, d0):
+        # Weight pads + unfolds are r-loop invariants XLA does not hoist
+        # out of the scan — prepare them once per chunk (d0 is traced).
+        prep_v = dres_prepare(wv_l, wv_r, R, chunk, d0=d0, max_shift=ms)
+        prep_h = dres_prepare(wh_l, wh_r, R, chunk, d0=d0, max_shift=ms)
         den_v = asw_den_dres(wv_l, wv_r, R, cfg.eps, interpret, d0=d0,
-                             num_disp=chunk, max_shift=ms)
+                             num_disp=chunk, max_shift=ms, prep=prep_v,
+                             crop=False)
         den_h = asw_den_dres(wh_l, wh_r, R, cfg.eps, interpret, d0=d0,
-                             num_disp=chunk, max_shift=ms)
+                             num_disp=chunk, max_shift=ms, prep=prep_h,
+                             crop=False)
 
         def rbody(c, _):
             cv = asw_vpass_dres(c, wv_l, wv_r, R, cfg.eps, interpret,
-                                d0=d0, den=den_v, max_shift=ms)
+                                d0=d0, den=den_v, max_shift=ms, prep=prep_v)
             ch = asw_hpass_dres(cv, wh_l, wh_r, R, cfg.eps, interpret,
-                                d0=d0, den=den_h, max_shift=ms)
+                                d0=d0, den=den_h, max_shift=ms, prep=prep_h)
             return ch, None
 
         cagg, _ = lax.scan(rbody, cost_chunk(d0), None, length=cfg.r_iters)
@@ -210,16 +217,14 @@ def _use_dres(cfg: StereoConfig, H: int, W: int) -> bool:
                 f" radius={cfg.radius}; use aggr_d_chunks or "
                 f"aggr_kernels='auto'")
         return True
-    # "auto": the dres schedule is ~35% cheaper per padded element than
-    # the grid kernels, but its padded element count differs (lanes are H
-    # not W).  Pick it unless transposition inflates the padded area past
-    # that advantage (e.g. tsukuba: H=288 -> 384 lanes is +33% area while
-    # W=384 pads exactly; measured dres loses there, wins on every
-    # 450-wide pair).
-    m8, m128 = (lambda x: -(-x // 8) * 8), (lambda x: -(-x // 128) * 128)
-    elems_t = m8(W) * m128(H)
-    elems_n = m8(H) * m128(W)
-    return fits and elems_t <= 1.25 * elems_n
+    # "auto": since the round-3 group-of-8 schedule + hoisted weight
+    # prep, dres wins everywhere it fits — including tsukuba, whose
+    # H=288 -> 384 lane padding (+33% area) used to tip the balance to
+    # the grid kernels (measured round 3: dres 16.4 ms vs grid 19.8 ms
+    # on the full tsukuba pipeline; every 450-wide pair was already
+    # dres).  The grid kernels remain the fallback when the VMEM
+    # estimate rejects dres and for the halo-sharded tile path.
+    return fits
 
 
 def _aggregate(left, right, cfg: StereoConfig, crop: tuple,
