@@ -209,7 +209,8 @@ def _first_aggregate(lt, rt, cfg: StereoConfig, geom: _Geom,
     (hi_j = e + keep + (r - j)·R) and the aggregated 2·keep strip."""
     from ..kernels.asw_aggregation_dres import (asw_den_dres,
                                                 asw_hpass_dres,
-                                                asw_vpass_dres)
+                                                asw_vpass_dres,
+                                                dres_prepare)
 
     R, D, r = cfg.radius, cfg.num_disp, cfg.r_iters
     keep = _keep(cfg)
@@ -230,16 +231,23 @@ def _first_aggregate(lt, rt, cfg: StereoConfig, geom: _Geom,
 
     def body(carry, d0):
         acc, strips_acc, astrip_acc = carry
+        # Weight pads/unfolds are r-loop invariants XLA does not hoist
+        # out of the level scan — prepare once per chunk (the interior
+        # bands' per-level WINDOWS preclude this hoist there).
+        prep_v = dres_prepare(wv_l, wv_r, R, chunk, d0=d0, max_shift=ms)
+        prep_h = dres_prepare(wh_l, wh_r, R, chunk, d0=d0, max_shift=ms)
         den_v = asw_den_dres(wv_l, wv_r, R, cfg.eps, interpret, d0=d0,
-                             num_disp=chunk, max_shift=ms)
+                             num_disp=chunk, max_shift=ms, prep=prep_v,
+                             crop=False)
         den_h = asw_den_dres(wh_l, wh_r, R, cfg.eps, interpret, d0=d0,
-                             num_disp=chunk, max_shift=ms)
+                             num_disp=chunk, max_shift=ms, prep=prep_h,
+                             crop=False)
 
         def rbody(c, off):
             cv = asw_vpass_dres(c, wv_l, wv_r, R, cfg.eps, interpret,
-                                d0=d0, den=den_v, max_shift=ms)
+                                d0=d0, den=den_v, max_shift=ms, prep=prep_v)
             ch = asw_hpass_dres(cv, wh_l, wh_r, R, cfg.eps, interpret,
-                                d0=d0, den=den_h, max_shift=ms)
+                                d0=d0, den=den_h, max_shift=ms, prep=prep_h)
             return ch, lax.dynamic_slice_in_dim(ch, off, 2 * R, axis=2)
 
         cost = _cost_chunk(l3, ext, d0, chunk, Dp, W)
