@@ -168,3 +168,26 @@ def test_full_reference_geometry(data):
                            interpret=True)
     np.testing.assert_allclose(np.asarray(_tr(got_h)), np.asarray(want_h),
                                rtol=3e-6, atol=1e-6)
+
+
+def test_prepared_weights_path_identical():
+    """dres_prepare + crop=False dens (the hoisted driver path) must be
+    bit-identical to the self-prepping calls."""
+    import numpy as np
+
+    from stereo_matchin_tpu.kernels.asw_aggregation_dres import (
+        asw_den_dres, asw_hpass_dres, asw_vpass_dres, dres_prepare)
+
+    rng = np.random.default_rng(5)
+    T, W, H, D, R = 9, 60, 40, 11, 4
+    wl = jnp.asarray(rng.random((T, W, H), dtype=np.float32))
+    wr = jnp.asarray(rng.random((T, W, H), dtype=np.float32))
+    c = jnp.asarray(rng.random((D, W, H), dtype=np.float32))
+    prep = dres_prepare(wl, wr, R, D)
+    den_p = asw_den_dres(wl, wr, R, interpret=True, num_disp=D,
+                         prep=prep, crop=False)
+    for fn in (asw_vpass_dres, asw_hpass_dres):
+        a = np.asarray(fn(c, wl, wr, R, interpret=True))
+        b = np.asarray(fn(c, wl, wr, R, interpret=True, den=den_p,
+                          prep=prep))
+        np.testing.assert_array_equal(a, b)
