@@ -131,10 +131,17 @@ def _diag_wta_kernel(d1_ref, sc_ref, ct_ref, diag_a, diag_b, c1_ref, c2_ref,
         r1 = diag_y - h0.astype(jnp.float32)
         h1 = r1.astype(jnp.bfloat16)
         h2 = (r1 - h1.astype(jnp.float32)).astype(jnp.bfloat16)
-        dot = lambda h: lax.dot_general(
-            h, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (d_block, wb)
-        g = (dot(h0) + dot(h1)) + dot(h2)
+        # ONE dot with the contraction dim tripled instead of three
+        # summed dots: each output element still has exactly three
+        # nonzero products (one per split), and the splits occupy
+        # disjoint mantissa ranges of an f32, so the sum is exact in ANY
+        # accumulation order — same bits as (dot(h0)+dot(h1))+dot(h2),
+        # at a third of the per-row dot-dispatch latency (the row loop
+        # issues thousands of these small matmuls per call).
+        hcat = jnp.concatenate([h0, h1, h2], axis=1)    # (d_block, 6*wb)
+        onehot3 = jnp.concatenate([onehot] * 3, axis=0)  # (6*wb, wb)
+        g = lax.dot_general(hcat, onehot3, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
         i_of_b = d1 - b_sub                             # step index i
         vals0 = g + sc * jnp.abs(ct - i_of_b)
         lo = jnp.maximum(1.0, d1 - x_lane)
