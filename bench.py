@@ -371,6 +371,41 @@ def bench_config4_stream(runs: int = 3, batch: int = 4, W: int = 1242,
     raise last_err
 
 
+def bench_config0_cpu():
+    """BASELINE config 0: tsukuba at 16 disparities with a 9x9 support
+    window, CPU-runnable — measured in a CPU subprocess (the parent owns
+    the TPU backend; backends are per-process).  Returns Mdisp/s."""
+    code = r"""
+import os, json, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+from stereo_matchin_tpu import StereoConfig
+from stereo_matchin_tpu.io import load_pair
+from stereo_matchin_tpu.models import asw
+cfg = StereoConfig(d_max=15, radius=4)
+left, right = map(jnp.asarray, load_pair("tsukuba"))
+H, W = left.shape[:2]
+fn = jax.jit(lambda l, r: asw.asw_pipeline_impl(l, r, cfg).disparity)
+fn(left, right).block_until_ready()
+t0 = time.perf_counter()
+n = 3
+for _ in range(n):
+    out = fn(left, right)
+out.block_until_ready()
+dt = (time.perf_counter() - t0) / n
+print(json.dumps({"mdisp_s": H * W * cfg.num_disp / dt / 1e6}))
+"""
+    env = dict(**__import__("os").environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=600, env=env)
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-300:])
+    return json.loads(r.stdout.strip().splitlines()[-1])["mdisp_s"]
+
+
 def bench_scaling_subprocess():
     """Weak-scaling on the 8-virtual-device CPU mesh, in a subprocess (the
     parent owns the TPU backend; backends are per-process).
@@ -540,6 +575,17 @@ def main() -> int:
                          batch=8)
     emit("asw_tsukuba_b8_throughput", b, b / anchor_mdisp("asw", "tsukuba"))
 
+    # BASELINE config 0: tsukuba, 16 disparities, 9x9 window — the
+    # CPU-runnable config, measured on CPU (subprocess).  vs_baseline
+    # uses the 860M ASW anchor like the other config rows (the reference
+    # never ran this geometry).
+    try:
+        b = bench_config0_cpu()
+        emit("config0_tsukuba_cpu_16d_9x9_throughput", b, b / 17.5)
+    except Exception as e:  # noqa: BLE001 — bench must report what it can
+        print(json.dumps({"metric": "config0_tsukuba_cpu_16d_9x9_throughput",
+                          "value": None, "unit": "Mdisp/s",
+                          "error": repr(e)[:200]}), flush=True)
     # BASELINE config 1: 64 disparities, full 35x35 window (radius 17).
     cfg1 = cfg.replace(d_max=63, radius=17)
     b, _, _ = bench_pair("asw", "teddy", cfg1, max(3, args.runs // 2))
