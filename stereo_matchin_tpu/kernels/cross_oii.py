@@ -59,6 +59,19 @@ from jax.experimental.pallas import tpu as pltpu
 from .asw_aggregation import (_CHUNK_MAX, _lane_chunked, _pad_cols,
                               _pad_rows)
 
+# The OII pass kernels carry no T-sized weight strips — their per-program
+# VMEM is LINEAR in the padded width (cost/out rows + four arm planes,
+# ~10 MB at 2944 lanes with the 64 MB scoped grant below), so they can
+# run Middlebury-2014 width (2880) unchunked.  The generic _CHUNK_MAX
+# (sized for the ASW grid kernels' 33-plane weight strips) forced four
+# column chunks whose ms+L left halos redid ~33% of the work at config-3
+# geometry.  The histogram vote keeps the generic bound (its one-hot
+# scratch scales superlinearly with width).
+_OII_CHUNK_MAX = 3072
+
+from .wta_gather import _vmem_params  # noqa: E402 — 64 MB scoped grant
+
+
 
 def _roll(x, amount, axis, interpret):
     if interpret:
@@ -166,7 +179,7 @@ def oii_hpass_pallas(cost, arms_l, arms_r, arm_len: int = 25,
     stay within the cropped halo."""
     D, H, W = cost.shape
     ms = (D - 1) if max_shift is None else max_shift
-    if -(-W // 128) * 128 > _CHUNK_MAX:
+    if -(-W // 128) * 128 > _OII_CHUNK_MAX:
         halo_l = ms + arm_len
         return _lane_chunked(
             lambda c, al, ar, x0=0: _oii_hpass_impl(
@@ -208,6 +221,7 @@ def _oii_hpass_impl(cost, arms_l, arms_r, *, arm_len: int, interpret: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D, H_pad, W_pad), cost.dtype),
         interpret=interpret,
+        **_vmem_params(interpret),
     )(d0_arr, cost_p, hm_l, hp_l, hm_r, hp_r)
     return out[:, :H, :W]
 
@@ -225,7 +239,7 @@ def oii_vpass_pallas(temp, arms_l, arms_r, arm_len: int = 25,
     for row-sharded tiles (defaults: unsharded)."""
     D, H, W = temp.shape
     ms = (D - 1) if max_shift is None else max_shift
-    if -(-W // 128) * 128 > _CHUNK_MAX:
+    if -(-W // 128) * 128 > _OII_CHUNK_MAX:
         return _lane_chunked(
             lambda t, al, ar: _oii_vpass_impl(t, al, ar, arm_len=arm_len,
                                               interpret=interpret, d0=d0,
@@ -273,6 +287,7 @@ def _oii_vpass_impl(temp, arms_l, arms_r, *, arm_len: int, interpret: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D, H_pad, W_pad), temp.dtype),
         interpret=interpret,
+        **_vmem_params(interpret),
     )(d0_arr, row0_arr, temp_p, temp_p, vm_l, vp_l, vm_r, vp_r)
     return out[:, :H, :W]
 
