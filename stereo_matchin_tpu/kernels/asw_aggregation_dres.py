@@ -146,23 +146,30 @@ def _group_sections(D: int, P: int, w_b: int, wru_ref, section):
     lane tap walk itself.
 
     Full groups run under one fori (uniform body); a partial tail group
-    (D % 8) is peeled statically."""
+    (D % 8) is peeled statically.  The full groups' base P - 8 - 8g is
+    always >= 0 (P >= 8*n_full); the TAIL group's is not — when
+    D = 1 (mod 8), P = mult(D-1, 8) equals 8*n_full exactly and the
+    naive base went to -8, reading out of bounds and corrupting the last
+    plane (caught by a D=9/17/25 regression test) — so the tail clamps
+    its base at 0 and shifts the static sub-offsets accordingly."""
     n_full = D // 8
-
-    def group(g, n_j):
-        base = pl.multiple_of(P - 8 - 8 * g, 8)
-        w8 = wru_ref[0, :, pl.ds(base, w_b + 16), :]
-        wrs = [w8[:, 8 - j:8 - j + w_b, :] for j in range(n_j)]
-        section(8 * g, wrs)
 
     if n_full > 0:
         def body(g, carry):
-            group(g, 8)
+            base = pl.multiple_of(P - 8 - 8 * g, 8)
+            w8 = wru_ref[0, :, pl.ds(base, w_b + 16), :]
+            wrs = [w8[:, 8 - j:8 - j + w_b, :] for j in range(8)]
+            section(8 * g, wrs)
             return carry
 
         lax.fori_loop(0, n_full, body, 0)
     if D % 8:
-        group(n_full, D % 8)
+        g = n_full
+        base = max(P - 8 - 8 * g, 0)
+        w8 = wru_ref[0, :, pl.ds(pl.multiple_of(base, 8), w_b + 16), :]
+        wrs = [w8[:, (P - 8 * g - j) - base:(P - 8 * g - j) - base + w_b, :]
+               for j in range(D % 8)]
+        section(8 * g, wrs)
 
 
 def _h_kernel(wl_ref, wru_ref, ca_ref, cb_ref, den_ref, out_ref, *,

@@ -191,3 +191,32 @@ def test_prepared_weights_path_identical():
         b = np.asarray(fn(c, wl, wr, R, interpret=True, den=den_p,
                           prep=prep))
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("D", [9, 17, 25, 12, 16])
+def test_group_tail_all_residues(D):
+    """Regression: the tail group's window base must clamp at 0 — at
+    D = 1 (mod 8), P = mult(D-1, 8) = 8*n_full and the naive
+    P - 8 - 8g base went negative, reading out of bounds and corrupting
+    the LAST disparity plane (asw_vpass_dres disagreed with the ops
+    reference on plane D-1 at D=9/17/25)."""
+    import numpy as np
+
+    from stereo_matchin_tpu import ops
+    from stereo_matchin_tpu.kernels.asw_aggregation_dres import (
+        asw_den_dres, asw_hpass_dres, asw_vpass_dres)
+
+    rng = np.random.default_rng(4)
+    T, W, H, R = 9, 60, 40, 4
+    wl = jnp.asarray(rng.random((T, W, H), dtype=np.float32))
+    wr = jnp.asarray(rng.random((T, W, H), dtype=np.float32))
+    c = jnp.asarray(rng.random((D, W, H), dtype=np.float32))
+    cn, wln, wrn = (jnp.swapaxes(a, 1, 2) for a in (c, wl, wr))
+    for fn, axis in ((asw_vpass_dres, 1), (asw_hpass_dres, 2)):
+        got = np.asarray(fn(c, wl, wr, R, interpret=True))
+        ref_t, den_t = ops.asw_aggregate_pass(cn, wln, wrn, axis, R)
+        ref = np.asarray(jnp.swapaxes(ref_t, 1, 2))
+        np.testing.assert_allclose(got, ref, rtol=2e-6, atol=1e-6)
+    den = np.asarray(asw_den_dres(wl, wr, R, interpret=True, num_disp=D))
+    np.testing.assert_allclose(den, np.asarray(jnp.swapaxes(den_t, 1, 2)),
+                               rtol=2e-6, atol=1e-6)
