@@ -178,7 +178,9 @@ def bench_config3_band(runs: int = 2, W: int = 2880, H: int = 1988,
 
     if wf.wavefront_supported((H, W, 3), cfg, num_bands, interpret):
         geoms = wf.plan_bands(H, num_bands, cfg)
-        g = geoms[1]                                  # interior band
+        g = wf._canon(geoms[1])                       # interior band
+        # (canonical form — shares the compiled program with the
+        # full-frame metric's interior bands)
         rows = g.g1 - g.g0
         base = rng.random((rows, W, 3), dtype=np.float32)
         left = jnp.asarray(base)
