@@ -61,24 +61,36 @@ def build_pod_mesh(row: int = 1, disp: int = 1,
     return build_mesh(MeshConfig(batch=batch, row=row, disp=disp))
 
 
-def scaling_report(step_fn, left, right, mesh: Mesh, runs: int = 5):
+def scaling_report(step_fn, left, right, mesh: Mesh, runs: int = 5,
+                   repeats: int = 3):
     """Throughput + per-device efficiency for a sharded step on `mesh`.
 
-    Returns dict with wall ms, Mdisp/s, and Mdisp/s per device.
+    Returns dict with wall ms, Mdisp/s, and Mdisp/s per device.  The
+    wall time is the MIN over `repeats` timed blocks of `runs` steps —
+    on the shared-core CPU proxy mesh a single mean block is easily
+    poisoned by transient host load (observed: a concurrent pytest run
+    inverted a weak-scaling line), and min-of-blocks is the standard
+    defence.
     """
     import time
 
     import jax.numpy as jnp
 
-    out = step_fn(left, right)
-    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
-    float(sum(jnp.sum(x.astype(jnp.float32)) for x in leaves))
-    t0 = time.perf_counter()
-    for _ in range(runs):
-        out = step_fn(left, right)
-    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
-    float(sum(jnp.sum(x.astype(jnp.float32)) for x in leaves))
-    ms = (time.perf_counter() - t0) / runs * 1000.0
+    def sync(out):
+        leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
+        float(sum(jnp.sum(x.astype(jnp.float32)) for x in leaves))
+
+    sync(step_fn(left, right))          # warmup/compile
+
+    def block():
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(runs):
+            out = step_fn(left, right)
+        sync(out)
+        return time.perf_counter() - t0
+
+    ms = min(block() for _ in range(max(repeats, 1))) / runs * 1000.0
     n_dev = mesh.devices.size
     B, H, W = left.shape[0], left.shape[1], left.shape[2]
     # Mdisp/s needs the disparity count from the caller's cfg; report
