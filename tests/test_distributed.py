@@ -113,6 +113,63 @@ print("PIPELINE_OK", pid, "shards", checked, flush=True)
 """
 
 
+CROSS_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")   # axon sitecustomize override
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from stereo_matchin_tpu import StereoConfig
+from stereo_matchin_tpu.models import cross_based
+from stereo_matchin_tpu.parallel import distributed, make_cross_sharded
+
+addr, pid = sys.argv[1], int(sys.argv[2])
+distributed.initialize(coordinator_address=addr, num_processes=2,
+                       process_id=pid)
+assert jax.process_count() == 2
+
+cfg = StereoConfig(d_max=10, radius=3, arm_len=4, r_iters=2, k_iters=2,
+                   oii_impl="taps")
+B, H, W = 2, 24, 20
+rng = np.random.default_rng(7)                       # same seed both procs
+left_np = (rng.integers(0, 256, (B, H, W, 3)) / np.float32(255.0)).astype(
+    np.float32)
+right_np = np.roll(left_np, -3, axis=2)
+noise = rng.integers(-10, 11, right_np.shape) / np.float32(255.0)
+right_np = np.clip(np.round((right_np + noise) * 255) / 255.0, 0,
+                   1).astype(np.float32)
+
+mesh = distributed.build_pod_mesh(row=2, disp=1)
+spec = NamedSharding(mesh, P("batch", "row", None, None))
+left = jax.make_array_from_callback((B, H, W, 3), spec,
+                                    lambda i: left_np[i])
+right = jax.make_array_from_callback((B, H, W, 3), spec,
+                                     lambda i: right_np[i])
+
+f = make_cross_sharded(cfg, mesh)
+out = f(left, right)
+jax.block_until_ready(out)
+
+ref = jax.vmap(lambda l, r: cross_based.cross_pipeline_fused(l, r, cfg))(
+    jnp.asarray(left_np), jnp.asarray(right_np))
+ref = jax.tree.map(np.asarray, ref)
+
+checked = 0
+for name in ("initial", "final", "median_left"):
+    got, want = getattr(out, name), getattr(ref, name)
+    for shard in got.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data),
+                                      want[shard.index],
+                                      err_msg=f"{name} shard {shard.index}")
+        checked += 1
+assert checked >= 6, checked
+print("CROSS_OK", pid, "shards", checked, flush=True)
+"""
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -153,3 +210,10 @@ def test_sharded_asw_pipeline_two_processes():
     within each process) — every addressable output shard must equal the
     single-device pipeline bit-for-bit."""
     _run_two_workers(PIPELINE_WORKER, "PIPELINE_OK", timeout=420)
+
+
+def test_sharded_cross_pipeline_two_processes():
+    """Same two-real-process rig for the CROSS method: every addressable
+    shard of the row/batch-sharded initial, final, and median maps must
+    equal the single-device fused pipeline bit-for-bit."""
+    _run_two_workers(CROSS_WORKER, "CROSS_OK", timeout=420)
