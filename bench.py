@@ -173,7 +173,10 @@ def bench_config3_band(runs: int = 2, W: int = 2880, H: int = 1988,
     # bands nearly free (+2R rows each), and 497-row bands' mid program
     # plans past the 16 GB HBM ceiling.
     if cfg is None:
-        cfg = REFERENCE_CONFIG.replace(d_max=279, aggr_d_chunks=8)
+        # 4 disparity chunks of 72: fewer, larger chunks amortise the
+        # per-(chunk, level) XLA glue — measured 1051 -> 943 ms per
+        # interior band vs 8 chunks (8 still fits; 3 does not).
+        cfg = REFERENCE_CONFIG.replace(d_max=279, aggr_d_chunks=4)
     rng = np.random.default_rng(0)
 
     if wf.wavefront_supported((H, W, 3), cfg, num_bands, interpret):
@@ -289,7 +292,8 @@ def bench_config3_frame(method: str = "asw", warm: int = 2, W: int = 2880,
     right = jnp.asarray(np.roll(base, 17, axis=1))
     if method == "asw":
         if cfg is None:
-            cfg = REFERENCE_CONFIG.replace(d_max=279, aggr_d_chunks=8)
+            # 4 disparity chunks of 72 — see bench_config3_band's note.
+            cfg = REFERENCE_CONFIG.replace(d_max=279, aggr_d_chunks=4)
         run = lambda: wf.asw_pipeline_wavefront(left, right, cfg, num_bands,  # noqa: E731
                                                 interpret)
     else:
