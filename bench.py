@@ -597,8 +597,9 @@ def main() -> int:
     b, _, _ = bench_pair("asw", "teddy", cfg1, max(3, args.runs // 2))
     emit("config1_teddy_64d_35w_throughput", b, b / 17.5)
     # BASELINE config 2: ~230 disparities (Middlebury 2005 third-size).
-    # 5 disparity chunks of 48 keep the dres kernels inside VMEM.
-    cfg2 = cfg.replace(d_max=229, aggr_d_chunks=5)
+    # 2 disparity chunks of 120 keep the dres kernels inside VMEM and
+    # measured fastest (450 Mdisp/s vs 421 at 5 chunks; 1 chunk OOMs).
+    cfg2 = cfg.replace(d_max=229, aggr_d_chunks=2)
     b, _, _ = bench_pair("asw", "art", cfg2, max(3, args.runs // 2))
     emit("config2_art_230d_throughput", b, b / 17.5)
     # BASELINE config 3: 2880x1988, 280 disp, band-tiled.
