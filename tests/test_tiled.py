@@ -62,3 +62,31 @@ def test_auto_bands_matches_measured_boundary():
     # Monotone in every workload dimension.
     assert auto_bands((3976, 2880, 3), c3) >= 2 * 5 - 1
     assert auto_bands((1988, 2880, 3), c3, hbm_bytes=32 << 30) <= 3
+
+
+def test_config3_default_chunking_fits_vmem():
+    """bench.py's config-3 default (aggr_d_chunks=4 -> chunks of 72) must
+    keep the dres kernels inside the VMEM gate at both the interior-band
+    and first-band lane extents, at config-2's (2 chunks of 120, art
+    geometry), and at every standard pair unchunked — a VMEM-model change
+    that silently rejects these would knock the bench onto slow
+    fallbacks."""
+    from stereo_matchin_tpu import REFERENCE_CONFIG
+    from stereo_matchin_tpu.kernels.asw_aggregation_dres import dres_vmem_fits
+    from stereo_matchin_tpu.models import wavefront as wf
+    from stereo_matchin_tpu.models.asw import _chunk_geometry
+
+    c3 = REFERENCE_CONFIG.replace(d_max=279, aggr_d_chunks=4)
+    chunk, n_eff = _chunk_geometry(c3.num_disp, c3.aggr_d_chunks, mult=8)
+    assert (chunk, n_eff) == (72, 4)
+    geoms = wf.plan_bands(1988, 5, c3)
+    assert dres_vmem_fits(chunk, max(g.g1 - g.g0 for g in geoms), c3.radius)
+    assert wf.wavefront_supported((1988, 2880, 3), c3, 5, interpret=True)
+    # config 2: art at 230 disparities, 2 chunks of 120.
+    c2 = REFERENCE_CONFIG.replace(d_max=229, aggr_d_chunks=2)
+    chunk2, _ = _chunk_geometry(c2.num_disp, c2.aggr_d_chunks, mult=8)
+    assert chunk2 == 120
+    assert dres_vmem_fits(chunk2, 359, c2.radius)
+    # standard pairs, unchunked reference config.
+    for H in (288, 375, 359, 372):
+        assert dres_vmem_fits(61, H, 16)
