@@ -89,7 +89,7 @@ def _shift_arm(arm, d, lane, interpret):
 
 
 def _oii_h_kernel(d0_ref, cost_ref, hm_l_ref, hp_l_ref, hm_r_ref, hp_r_ref,
-                  out_ref, *, arm_len: int, W: int, col0: int,
+                  out_ref, *, arm_len: int, W: int, col0: int, bake: bool,
                   interpret: bool):
     """One (row_block, d) program of the horizontal OII windowed mean.
 
@@ -101,6 +101,13 @@ def _oii_h_kernel(d0_ref, cost_ref, hm_l_ref, hp_l_ref, hm_r_ref, hp_r_ref,
     GLOBAL: a wide-image lane chunk passes the global width and the
     global index of its local column 0, so the quirk masks stay anchored
     to the true image borders, not the chunk's.
+
+    bake=True applies the column bounds ONCE by zeroing the out-of-bounds
+    source lanes (a zeroed lane adds literal 0.0 exactly as the dropped
+    tap did — bit-identical), leaving only the hm/hp pair per tap.  Safe
+    iff every kept output's tap roll never wraps onto a non-zeroed real
+    lane: the caller enables it when the lane pad >= arm_len (wraps land
+    on zeroed pad lanes) or on halo'd chunks (kept taps never wrap).
     """
     d = d0_ref[0, 0] + pl.program_id(1)
     shape = hm_l_ref.shape
@@ -108,11 +115,17 @@ def _oii_h_kernel(d0_ref, cost_ref, hm_l_ref, hp_l_ref, hm_r_ref, hp_r_ref,
     hm = jnp.maximum(_shift_arm(hm_r_ref[:], d, lane, interpret), hm_l_ref[:])
     hp = jnp.minimum(_shift_arm(hp_r_ref[:], d, lane, interpret), hp_l_ref[:])
     c = cost_ref[0]
+    if bake:
+        gx = lane + col0                           # global source column
+        c = jnp.where((gx >= 1) & (gx <= W - 1), c, 0.0)
     acc = jnp.zeros(shape, c.dtype)
     for j in range(-arm_len, arm_len + 1):
         tap = _roll(c, -j, 1, interpret)           # tap[x] = c[(x+j) mod Wp]
-        xj = lane + j + col0                       # global column of the tap
-        m = ((j >= hm) & (j <= hp) & (xj >= 1) & (xj <= W - 1))
+        if bake:
+            m = (j >= hm) & (j <= hp)
+        else:
+            xj = lane + j + col0                   # global column of the tap
+            m = ((j >= hm) & (j <= hp) & (xj >= 1) & (xj <= W - 1))
         acc = acc + jnp.where(m, tap, 0.0)
     out_ref[0] = acc / (hp - hm)
 
@@ -127,7 +140,15 @@ def _oii_v_kernel(d0_ref, row0_ref, ta_ref, tb_ref, vm_l_ref, vp_l_ref,
     H and row0_ref are GLOBAL: a row-sharded tile passes the global image
     height and the global row of local row 0, so the reference's dropped-
     row-0 prefix quirk and the bottom clamp stay anchored to the true
-    image borders (row0=0, H=local height for the unsharded case)."""
+    image borders (row0=0, H=local height for the unsharded case).
+
+    The row-bound quirks ((yi >= 1) & (yi <= H-1)) are applied ONCE by
+    zeroing the out-of-bounds rows of the staged two-block window — a
+    zeroed row adds literal 0.0 exactly as the dropped tap did, so sums
+    are bit-identical — instead of masking every tap: the per-tap mask
+    is just the vm/vp pair (93 -> 51 ms at the config-3 band,
+    4.1 -> 2.3 ps/tap-elem; where-select beat the mask-multiply FMA form
+    by 30% here)."""
     d = d0_ref[0, 0] + pl.program_id(1)
     L = arm_len
     shape = vm_l_ref.shape
@@ -135,13 +156,13 @@ def _oii_v_kernel(d0_ref, row0_ref, ta_ref, tb_ref, vm_l_ref, vp_l_ref,
     vm = jnp.maximum(_shift_arm(vm_r_ref[:], d, lane, interpret), vm_l_ref[:])
     vp = jnp.minimum(_shift_arm(vp_r_ref[:], d, lane, interpret), vp_l_ref[:])
     t2 = jnp.concatenate([ta_ref[0], tb_ref[0]], axis=0)   # (2*y_b, Wp)
-    ys = (row0_ref[0, 0] + pl.program_id(0) * y_block
-          + lax.broadcasted_iota(jnp.int32, shape, 0))     # global row
+    g = (row0_ref[0, 0] + pl.program_id(0) * y_block - L
+         + lax.broadcasted_iota(jnp.int32, t2.shape, 0))   # global tap row
+    t2 = jnp.where((g >= 1) & (g <= H - 1), t2, 0.0)
     acc = jnp.zeros(shape, t2.dtype)
     for i in range(-L, L + 1):
         tap = t2[L + i:L + i + y_block]
-        yi = ys + i
-        m = ((i >= vm) & (i <= vp) & (yi >= 1) & (yi <= H - 1))
+        m = (i >= vm) & (i <= vp)
         acc = acc + jnp.where(m, tap, 0.0)
     out_ref[0] = acc / (vp - vm)
 
@@ -203,8 +224,12 @@ def _oii_hpass_impl(cost, arms_l, arms_r, *, arm_len: int, interpret: bool,
     hm_l, hp_l = _arm_planes(arms_l, 0, 2, H_pad, W_pad)
     hm_r, hp_r = _arm_planes(arms_r, 0, 2, H_pad, W_pad)
     d0_arr = jnp.asarray(d0, jnp.int32).reshape(1, 1)
+    # Zero-bake the column bounds when kept-tap rolls cannot wrap onto
+    # real lanes: chunks carry >= arm_len halos on both sides; unchunked
+    # needs pad >= arm_len so low wraps land on (zeroed) pad lanes.
+    bake = (w_glob is not None) or (W_pad - W >= arm_len)
     kernel = functools.partial(_oii_h_kernel, arm_len=arm_len, W=W_mask,
-                               col0=col0, interpret=interpret)
+                               col0=col0, bake=bake, interpret=interpret)
     arm_spec = pl.BlockSpec((y_b, W_pad), lambda i, d: (i, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -396,6 +421,7 @@ def oii_hpass_pallas_t(cost, arms_l, arms_r, arm_len: int = 25,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D, W_pad, H_pad), cost.dtype),
         interpret=interpret,
+        **_vmem_params(interpret),
     )(d0_arr, cost_p, cost_p, hml, hpl, hmr, hpr)
     return jnp.swapaxes(out[:, :W, :H], 1, 2)
 
@@ -403,12 +429,15 @@ def oii_hpass_pallas_t(cost, arms_l, arms_r, arm_len: int = 25,
 def oii_t_profitable(H: int, W: int) -> bool:
     """Transposed h-pass wins unless transposition inflates the padded
     area (tsukuba: H=288 -> 384 lanes vs an exact 384-lane W) or the
-    full arm planes outgrow VMEM (Middlebury-2014 widths)."""
+    full arm planes outgrow the 64 MB scoped-VMEM grant (full-height
+    Middlebury-2014 frames; the config-3 wavefront band at H~500 fits,
+    and its sublane tap walk beats the grid kernel's per-tap lane roll
+    2.55 -> 1.75 ps/tap-elem)."""
     m8, m128 = (lambda x: -(-x // 8) * 8), (lambda x: -(-x // 128) * 128)
     if m8(W) * m128(H) > 1.1 * m8(H) * m128(W):
         return False
     arm_bytes = 4 * (m8(W) + 136) * m128(H) * 4
-    return arm_bytes < 9_000_000
+    return arm_bytes < 30_000_000
 
 
 def cross_aggregate_pallas(cost, arms_l, arms_r, arm_len: int = 25,
@@ -488,28 +517,32 @@ def _vote_v_kernel(rc_a, rc_b, rc_c, vm_ref, vp_ref, out_ref, scratch, *,
     Grid = (row_blocks, x_blocks, d_chunks) with d innermost; the output
     block is revisited across d with a running max, so VMEM stays
     independent of the total plane count (config 2/3: ~280 planes).  The
-    three row blocks are staged into one VMEM scratch and the 51 taps
-    run as a fori_loop with a dynamic (non-lane) ref slice — the
-    unrolled form kept every tap temporary live and blew the VMEM
-    stack."""
+    three row blocks are staged into one f32 VMEM scratch (converted
+    once, not per tap) with the tap origin (y_block - arm_len) folded
+    into the staging offset, and the 51 taps are fully unrolled STATIC
+    sublane slices — together 2.15x faster than the round-3 fori_loop
+    over dynamic unaligned slices of a bf16 scratch (23.4 -> 10.9 ms at
+    the config-3 chunk, 1.51 ps/tap-elem ~= the 1.56 streamed-FMA
+    floor), bit-identical."""
     L = arm_len
     dk = pl.program_id(2)
-    scratch[0:y_block] = rc_a[:]
-    scratch[y_block:2 * y_block] = rc_b[:]
-    scratch[2 * y_block:3 * y_block] = rc_c[:]
+    off = y_block - L                 # tap t reads scratch[t : t+y_block]
+    scratch[0:y_block - off] = rc_a[off:].astype(jnp.float32)
+    scratch[y_block - off:2 * y_block - off] = rc_b[:].astype(jnp.float32)
+    scratch[2 * y_block - off:3 * y_block - off] = rc_c[:].astype(
+        jnp.float32)
     vm, vp = vm_ref[:], vp_ref[:]                     # (y_b, w_b)
     shape = (y_block, d_block, vm.shape[1])
 
-    def body(t, acc):
-        i = (t - L).astype(jnp.float32)
-        tap = scratch[pl.ds(t + (y_block - L), y_block)].astype(jnp.float32)
+    acc = jnp.zeros(shape, jnp.float32)
+    for t in range(2 * L + 1):
+        i = float(t - L)
+        tap = scratch[t:t + y_block]
         # Mask-multiply instead of where: Mosaic cannot minor-dim-expand
         # an i1 vector (the f32 mask can), and counts are finite so
         # 0*tap is exact.
         m = ((i >= vm) & (i <= vp)).astype(jnp.float32)
-        return acc + m[:, None, :] * tap
-
-    acc = lax.fori_loop(0, 2 * L + 1, body, jnp.zeros(shape, jnp.float32))
+        acc = acc + m[:, None, :] * tap
     d_sub = (lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
              + dk.astype(jnp.float32) * d_block)
     combined = acc * D_pad + d_sub
@@ -564,12 +597,12 @@ def _histogram_vote_impl(disp_img, arms_l, *, d_max: int, quantize: bool,
     H, W = disp_img.shape
     L = arm_len
     # Disparity pads to 16-granular SUBLANES (bf16 sublane tile), chunked
-    # so a chunk's v-pass VMEM footprint fits: ~26 bytes per (row, d, x)
-    # element (3-block staged scratch + double-buffered operand blocks +
-    # the f32 acc/tap temporaries) caps the chunk at 112 sublanes for
-    # y_b=32, w_b=128 (config 2/3: 288 sublanes -> three 96-sublane
-    # chunks; d_max=60 -> one 64-sublane chunk, vs the 128-lane floor of
-    # a lane layout).
+    # so a chunk's v-pass VMEM footprint fits: ~32 bytes per (row, d, x)
+    # element (3-block staged f32 scratch + double-buffered bf16 operand
+    # blocks + the f32 acc/tap temporaries) caps the chunk at 112
+    # sublanes under the 64 MB scoped grant for y_b=32, w_b=128 (config
+    # 2/3: 288 sublanes -> three 96-sublane chunks; d_max=60 -> one
+    # 64-sublane chunk, vs the 128-lane floor of a lane layout).
     d16 = -(-(d_max + 1) // 16) * 16
     n_dk = -(-d16 // 112)
     d_block = -(-d16 // n_dk // 16) * 16
@@ -636,8 +669,9 @@ def _histogram_vote_impl(disp_img, arms_l, *, d_max: int, quantize: bool,
         out_specs=pl.BlockSpec((y_b2, w_b), lambda i, jx, dk: (i, jx),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_y2 * y_b2, W_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((3 * y_b2, d_block, w_b), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((3 * y_b2, d_block, w_b), jnp.float32)],
         interpret=interpret,
+        **_vmem_params(interpret),
     )(rc_p, rc_p, rc_p, vm, vp)[:H, :W]
 
     mode = jnp.mod(combined, D_pad)
