@@ -356,16 +356,26 @@ def _oii_h_kernel_t(d0_ref, ca_ref, cb_ref, hml_ref, hpl_ref, hmr_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("arm_len", "interpret", "max_shift"))
+                   static_argnames=("arm_len", "interpret", "max_shift",
+                                    "transposed_in"))
 def oii_hpass_pallas_t(cost, arms_l, arms_r, arm_len: int = 25,
                        interpret: bool = False, d0=0,
-                       max_shift: int | None = None):
+                       max_shift: int | None = None,
+                       transposed_in: bool = False):
     """Transposed-schedule twin of oii_hpass_pallas (same normal-layout
     (D, H, W) API; values bit-identical — only the tap walk changes
     axis).  Preferred on shapes where H's lane padding does not outgrow
     W's (see oii_t_profitable); the d0/max_shift contract matches the
-    grid kernel, with no alignment requirement on d0."""
-    D, H, W = cost.shape
+    grid kernel, with no alignment requirement on d0.
+
+    transposed_in=True: `cost` is already (D, W, H) (e.g. built by
+    ops.sad_cost_volume_t) — skips the relayout of the full volume, whose
+    transpose + copy cost ~15 ms at config-3 band geometry.  Arms stay
+    (4, H, W)."""
+    if transposed_in:
+        D, W, H = cost.shape
+    else:
+        D, H, W = cost.shape
     ms = (D - 1) if max_shift is None else max_shift
     L = arm_len
     w_b = max(64, -(-2 * L // 8) * 8)
@@ -374,7 +384,7 @@ def oii_hpass_pallas_t(cost, arms_l, arms_r, arm_len: int = 25,
     n_x = -(-W // w_b)
     W_pad = n_x * w_b
 
-    cost_t = jnp.swapaxes(cost, 1, 2)                      # (D, W, H)
+    cost_t = cost if transposed_in else jnp.swapaxes(cost, 1, 2)  # (D, W, H)
     # Bake the column quirks into zero padding: global column 0 never
     # contributes (the reference's dropped-first-pixel prefix clamp) and
     # columns outside [0, W-1] add 0.
@@ -453,6 +463,128 @@ def cross_aggregate_pallas(cost, arms_l, arms_r, arm_len: int = 25,
     else:
         temp = oii_hpass_pallas(cost, arms_l, arms_r, arm_len, interpret, d0)
     return oii_vpass_pallas(temp, arms_l, arms_r, arm_len, interpret, d0)
+
+
+# --- adaptive cross arms -------------------------------------------------
+
+
+def _arms_kernel(row0_ref, a_ref, b_ref, c_ref, out_ref, *, arm_len: int,
+                 tau: float, first_dist: int, W: int, h_glob: int,
+                 y_block: int, interpret: bool):
+    """Cross arm walk for one row block (cross.cl `Cross`; semantics of
+    ops.cross_arms / parallel.cross_sharded._cross_arms_tiled).
+
+    The three staggered row blocks serve the ±(arm_len+1) vertical reach
+    in VMEM: vertical neighbour reads are STATIC sublane slices, and
+    horizontal ones are lane rolls whose left twin reuses the right
+    similarity plane (sim_left(x, d) = sim_right(x - d, d), one roll
+    instead of a second 3-channel compare).  Frame-edge blocks arrive
+    clamped (index maps), so their values are other rows' data — every
+    read they feed is globally out of bounds and killed by the same
+    ny/nx masks the jnp walk applies, keeping outputs bit-identical.
+    Compares stay f32 (|nb - p| < tau exactly as the oracle)."""
+    i = pl.program_id(0)
+    win = jnp.concatenate([a_ref[:], b_ref[:], c_ref[:]], axis=1)
+    cur = win[:, y_block:2 * y_block]                  # (3, y_b, Wp)
+    shape = cur.shape[1:]
+    lane = lax.broadcasted_iota(jnp.int32, shape, 1)
+    gy = (row0_ref[0, 0] + i * y_block
+          + lax.broadcasted_iota(jnp.int32, shape, 0))  # global row
+    arm = [jnp.ones(shape, jnp.int32) for _ in range(4)]
+    alive = [jnp.ones(shape, jnp.bool_) for _ in range(4)]
+    for dist in range(first_dist, first_dist + arm_len - 1):
+        sim_r = None
+        sim_d = None
+        sim_u = None
+        for ch in range(3):
+            nb_r = _roll(cur[ch], -dist, 1, interpret)
+            s = jnp.abs(nb_r - cur[ch]) < tau
+            sim_r = s if sim_r is None else (sim_r & s)
+            nb_d = win[ch, y_block + dist:2 * y_block + dist]
+            s = jnp.abs(nb_d - cur[ch]) < tau
+            sim_d = s if sim_d is None else (sim_d & s)
+            nb_u = win[ch, y_block - dist:2 * y_block - dist]
+            s = jnp.abs(nb_u - cur[ch]) < tau
+            sim_u = s if sim_u is None else (sim_u & s)
+        # Mosaic cannot rotate i1 vectors — roll the f32 image of the
+        # mask and compare back (exact: values are 0.0/1.0).
+        sim_l = _roll(sim_r.astype(jnp.float32), dist, 1, interpret) > 0.5
+        # (h-, h+, v-, v+) global in-bounds masks; rows/columns whose
+        # neighbour leaves the frame freeze exactly as in the jnp walk.
+        sims = (sim_l, sim_r, sim_u, sim_d)
+        inbs = ((lane - dist >= 0) & (lane - dist <= W - 1)
+                & (gy >= 0) & (gy <= h_glob - 1),
+                (lane + dist >= 0) & (lane + dist <= W - 1)
+                & (gy >= 0) & (gy <= h_glob - 1),
+                (gy - dist >= 0) & (gy - dist <= h_glob - 1)
+                & (lane >= 0) & (lane <= W - 1),
+                (gy + dist >= 0) & (gy + dist <= h_glob - 1)
+                & (lane >= 0) & (lane <= W - 1))
+        for k in range(4):
+            a = alive[k] & sims[k] & inbs[k]
+            alive[k] = a
+            arm[k] = arm[k] + a.astype(jnp.int32)
+    out_ref[0] = -arm[0]
+    out_ref[1] = arm[1]
+    out_ref[2] = -arm[2]
+    out_ref[3] = arm[3]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("arm_len", "tau", "legacy_quirk",
+                                    "h_glob", "interpret"))
+def cross_arms_pallas(img, arm_len: int = 25, tau: float = 0.10,
+                      legacy_quirk: bool = True, row0=0,
+                      h_glob: int | None = None, interpret: bool = False):
+    """Pallas cross arm walk: img (H, W, 3) -> (4, H, W) int32 planes.
+
+    Bit-identical to ops.cross_arms (row0=0, h_glob=H) and to
+    parallel.cross_sharded._cross_arms_tiled anchored the same way, for
+    every row with arm_len+1 real margin rows in `img` (or frame-edge
+    rows, where the global masks decide) — the same validity contract as
+    the jnp walks' edge-padded reads.  Replaces their 24-step
+    full-volume HBM loop (~19 ms per config-3 band) with an in-VMEM
+    walk (~3 ms)."""
+    if interpret:
+        # jnp reference path (the Pallas interpreter's roll/concat
+        # lowering is slower than the plain walk, and this IS the
+        # semantics being matched).
+        from ..parallel.cross_sharded import _cross_arms_tiled
+        return _cross_arms_tiled(img, 0, jnp.asarray(row0, jnp.int32),
+                                 h_glob if h_glob is not None
+                                 else img.shape[0],
+                                 arm_len, tau, legacy_quirk)
+    H, W = img.shape[0], img.shape[1]
+    h_glob = H if h_glob is None else h_glob
+    first_dist = 3 if legacy_quirk else 2
+    y_b = max(32, -(-(arm_len + 1) // 8) * 8)
+    n_y = -(-H // y_b)
+    H_pad = n_y * y_b
+    W_pad = -(-W // 128) * 128
+    p = jnp.moveaxis(img, -1, 0)                       # (3, H, W)
+    p = _pad_cols(_pad_rows(p, H_pad, axis=1), W_pad)
+    row0_arr = jnp.asarray(row0, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(
+        _arms_kernel, arm_len=arm_len, tau=tau, first_dist=first_dist,
+        W=W, h_glob=h_glob, y_block=y_b, interpret=interpret)
+    clamp = lambda k: (lambda i: (0, jnp.clip(i + k, 0, n_y - 1), 0))
+    img_spec = lambda k: pl.BlockSpec((3, y_b, W_pad), clamp(k),
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_y,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            img_spec(-1), img_spec(0), img_spec(1),
+        ],
+        out_specs=pl.BlockSpec((4, y_b, W_pad), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, H_pad, W_pad), jnp.int32),
+        interpret=interpret,
+        **_vmem_params(interpret),
+    )(row0_arr, p, p, p)
+    return out[:, :H, :W]
 
 
 # --- histogram vote -----------------------------------------------------

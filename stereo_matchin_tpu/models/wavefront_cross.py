@@ -147,19 +147,30 @@ def _cross_band_impl(l, r, strips, cfg: StereoConfig, geom: _GeomC,
     mr = ops.median3x3(rp)          # slice-clamp row no stage consumes
     median_left = ml[loc(s):loc(e)]
 
-    # Arms over [a_lo, a_hi) with the global in-bounds walk; the helper
-    # computes arms for every row of its input with M margin rows of
-    # median (edge-padded internally; the global mask kills frame-top
-    # taps, so the first band needs no real margin above row 0).
+    # Arms over [a_lo, a_hi) with the global in-bounds walk; the helpers
+    # compute arms for every row of their input with M margin rows of
+    # median (the global mask kills frame-top taps, so the first band
+    # needs no real margin above row 0).  The Pallas walk is bit-identical
+    # on every row with real margin — exactly the rows kept here.
+    use_pallas = interpret or _use_pallas(cfg)
+
     def arms_of(m):
         if geom.first:
             win = lax.slice_in_dim(m, 0, loc(a_hi) + M, axis=0)
-            return _cross_arms_tiled(win, 0, jnp.int32(0), H, L, cfg.tau,
-                                     cfg.legacy_cross_arm_quirk)[:, :a_hi]
-        win = lax.slice_in_dim(m, loc(a_lo) - M, loc(a_hi) + M, axis=0)
-        a = _cross_arms_tiled(win, M, jnp.int32(a_lo), H, L, cfg.tau,
-                              cfg.legacy_cross_arm_quirk)
-        return a[:, M:M + (a_hi - a_lo)]
+            r0, lo = jnp.int32(0), 0
+        else:
+            win = lax.slice_in_dim(m, loc(a_lo) - M, loc(a_hi) + M, axis=0)
+            r0, lo = jnp.int32(a_lo - M), M
+        if use_pallas:
+            from ..kernels.cross_oii import cross_arms_pallas
+
+            a = cross_arms_pallas(win, L, cfg.tau,
+                                  cfg.legacy_cross_arm_quirk, row0=r0,
+                                  h_glob=H, interpret=interpret)
+        else:
+            a = _cross_arms_tiled(win, 0, r0, H, L, cfg.tau,
+                                  cfg.legacy_cross_arm_quirk)
+        return a[:, lo:lo + (a_hi - (0 if geom.first else a_lo))]
 
     arms_l = arms_of(ml)
     arms_r = arms_of(mr)
@@ -168,22 +179,31 @@ def _cross_band_impl(l, r, strips, cfg: StereoConfig, geom: _GeomC,
 
     # SAD cost over the fresh temp window (cost.py [0,1] scale, as
     # cross_pipeline_impl).
-    cost = ops.sad_cost_volume(
-        lax.slice_in_dim(ml, loc(t_lo), loc(t_hi), axis=0),
-        lax.slice_in_dim(mr, loc(t_lo), loc(t_hi), axis=0), D)
+    ml_w = lax.slice_in_dim(ml, loc(t_lo), loc(t_hi), axis=0)
+    mr_w = lax.slice_in_dim(mr, loc(t_lo), loc(t_hi), axis=0)
+    n_rows = t_hi - t_lo
 
-    use_pallas = interpret or _use_pallas(cfg)
     al_t, ar_t = asl(arms_l, t_lo, t_hi), asl(arms_r, t_lo, t_hi)
     if use_pallas:
         from ..kernels.cross_oii import (oii_hpass_pallas,
                                          oii_hpass_pallas_t,
                                          oii_t_profitable, oii_vpass_pallas)
 
-        hpass = (oii_hpass_pallas_t
-                 if oii_t_profitable(cost.shape[1], cost.shape[2])
-                 else oii_hpass_pallas)
-        temp_fresh = hpass(cost, al_t, ar_t, L, interpret=interpret)
+        if oii_t_profitable(n_rows, ml_w.shape[1]):
+            # Build the volume directly in the transposed (D, W, H)
+            # layout the kernel consumes — identical values
+            # (ops.sad_cost_volume_t), no full-volume relayout.
+            cost_t = ops.sad_cost_volume_t(jnp.swapaxes(ml_w, 0, 1),
+                                           jnp.swapaxes(mr_w, 0, 1), D)
+            temp_fresh = oii_hpass_pallas_t(cost_t, al_t, ar_t, L,
+                                            interpret=interpret,
+                                            transposed_in=True)
+        else:
+            cost = ops.sad_cost_volume(ml_w, mr_w, D)
+            temp_fresh = oii_hpass_pallas(cost, al_t, ar_t, L,
+                                          interpret=interpret)
     else:
+        cost = ops.sad_cost_volume(ml_w, mr_w, D)
         hm, hp = combined_arms(al_t, ar_t, D, plane_minus=0, plane_plus=1)
         temp_fresh = _oii_htaps(cost, hm, hp, L)
 
@@ -216,6 +236,14 @@ def _cross_band_impl(l, r, strips, cfg: StereoConfig, geom: _GeomC,
     initial = (initial_fresh if geom.first else
                jnp.concatenate([strips["initial"], initial_fresh], axis=0))
     al_vote = asl(arms_l, v_lo - L if not geom.first else 0, i_hi)
+    # Rows at/past the frame bottom must vote with row-(H-1)'s ARMS, not
+    # the virtual rows' own walks: disparity.cl samples the arms image
+    # with the same CLAMP_TO_EDGE as the disparity (the virtual rows'
+    # median values are row-(H-1) replicas, but their arm WALKS see
+    # different neighbours at each distance).  Replicate the arm rows
+    # exactly like the values.
+    al_vote = _fix_bottom(al_vote, H - (0 if geom.first else v_lo - L),
+                          axis=1)
     if use_pallas:
         from ..kernels.cross_oii import histogram_vote_pallas
 
@@ -290,6 +318,7 @@ def cross_pipeline_wavefront(left, right, cfg: StereoConfig,
             f"num_bands={num_bands}; use models/tiled.cross_pipeline_tiled")
     pieces = []
     strips = None
+    prev = None
     for g in geoms:
         l_sl, r_sl = left[g.g0:g.g1], right[g.g0:g.g1]
         gc = _canon_c(g)
@@ -299,8 +328,15 @@ def cross_pipeline_wavefront(left, right, cfg: StereoConfig,
             out, strips = _last_band_c(l_sl, r_sl, strips, cfg, gc, interpret)
         else:
             out, strips = _mid_band_c(l_sl, r_sl, strips, cfg, gc, interpret)
-        device_sync(out["final"])
+        # Pipelined completion barrier: sync band b-1 AFTER dispatching
+        # band b, so at most two bands' transients are live (bounding
+        # HBM exactly as the eager per-band sync did) while the ~27 ms
+        # relay sync constant hides behind band b's execution.
+        if prev is not None:
+            device_sync(prev)
+        prev = out["final"]
         pieces.append(out)
+    device_sync(prev)
     initial = jnp.concatenate([p["initial"] for p in pieces], axis=0)
     final = jnp.concatenate([p["final"] for p in pieces], axis=0)
     return initial, final

@@ -166,6 +166,32 @@ def test_cross_wavefront_non_dividing_last_band(cross_pair):
     np.testing.assert_array_equal(np.asarray(final), np.asarray(full.final))
 
 
+def test_cross_wavefront_bottom_clamp_arms():
+    """Frame-bottom vote rows must use row-(H-1)'s ARMS for clamped
+    reads — disparity.cl samples the arms image with the same
+    CLAMP_TO_EDGE as the disparity map, while a virtual (replicated)
+    row's own arm walk sees different neighbours at each distance.
+
+    The trigger needs REAL image structure: the median of edge-replicated
+    raw rows is not a replicated median, so the virtual rows' horizontal
+    arm walks diverge only when the true bottom rows carry near-tau
+    detail (synthetic noise pairs grow no arms at all; smooth gradients
+    grow identical ones).  A vertically-cropped tsukuba at the full
+    reference arms reproduces it: 14 differing pixels in the last two
+    rows before the fix (caught on-chip at teddy in round 4)."""
+    from stereo_matchin_tpu.io import load_pair
+
+    left, right = load_pair("tsukuba")
+    left = jnp.asarray(left[176:])
+    right = jnp.asarray(right[176:])
+    cfg = StereoConfig(d_max=15, oii_impl="taps")
+    full = cross_based.cross_pipeline(left, right, cfg)
+    initial, final = cross_pipeline_wavefront(left, right, cfg, 2)
+    np.testing.assert_array_equal(np.asarray(initial),
+                                  np.asarray(full.initial))
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(full.final))
+
+
 def test_cross_plan_rejects_short_bands():
     assert plan_bands_cross(96, 16, CROSS_CFG) is None
 
