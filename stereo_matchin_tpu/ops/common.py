@@ -10,6 +10,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# k/255 for every 8-bit code, correctly rounded to f32 (computed in f64).
+# Constants make the UNORM8 read-back value compiler-stable: a runtime
+# x/255 is rewritten to x*(1/255) by some XLA backends (1-ulp different
+# for some k), so two differently-fused programs disagreed at the ulp.
+_UNORM8_LEVELS = (np.arange(256, dtype=np.float64) / 255.0).astype(np.float32)
 
 
 def shift2d(img: jax.Array, dy: int, dx: int) -> jax.Array:
@@ -75,8 +82,26 @@ def unorm8(v: jax.Array) -> jax.Array:
     floors (25.5 -> 26) where the reference device goes down (-> 25),
     while both go down at even floors (8.5 -> 8).  Ties-down matches
     the goldens on all d classes (measured: tsukuba initial exact
-    94.7% -> 99.99% in 8-bit space)."""
-    return jnp.ceil(v * 255.0 - 0.5) / 255.0
+    94.7% -> 99.99% in 8-bit space).
+
+    Implementation note (round 4): the obvious `ceil(v*255 - 0.5)/255`
+    is NOT compiler-stable — measured on XLA:CPU, (a) the mul-sub chain
+    contracts into a single-rounded FMA under jit (2563 of 4096 pixels
+    flipped between the jitted and eager programs at d_max=23: the tie
+    the golden semantics depend on exists in fl(v*255), not in the
+    infinitely-precise v*255 - 0.5), and (b) the final /255 is rewritten
+    to *(1/255), 1 ulp off fl(k/255) for some k.  So (a) round fl(v*255)
+    with exact arithmetic only — floor() is exact, t - floor(t) is exact
+    (Sterbenz for t >= 1; trivially for t < 1), the compare carries no
+    rounding, and no mul+add chain remains to contract — and (b) read
+    the stored value from a 256-entry constant table of correctly
+    rounded k/255 (which is also the OpenCL UNORM8 read-back semantics,
+    clamp included).  Bit-identical to the oracle's eager ceil form on
+    the full [0,1] f32 grid sweep; chip golden suite re-validated."""
+    t = v * 255.0
+    f = jnp.floor(t)
+    k = jnp.clip(f + (t - f > 0.5), 0, 255).astype(jnp.int32)
+    return jnp.asarray(_UNORM8_LEVELS)[k]
 
 
 def quantize_disparity(d: jax.Array, d_max: int, enabled: bool = True) -> jax.Array:

@@ -53,8 +53,19 @@ def _cross_arms_tiled(img_padded, halo: int, row_start, h_global: int,
     p = jnp.moveaxis(img_padded, -1, 0)
     M = arm_len + 1
     ext = jnp.pad(p, [(0, 0), (M, M), (M, M)], mode="edge")
-    # Global row index of each padded-tile row.
-    ys = (row_start - halo + jnp.arange(Hp, dtype=jnp.int32))[:, None]
+    # Global row index of each padded-tile row, CLAMPED at the frame
+    # borders: a border shard's halo rows are edge replicas of the border
+    # row, and the vote samples the arms image with the same
+    # CLAMP_TO_EDGE as the disparity map (disparity.cl; oracle reads
+    # arms_l[·, clamp(y+i), x]) — so those rows must carry the border
+    # row's arms, not a virtual row's collapsed walk.  Round-4 fix: the
+    # unclamped index zeroed the ny in-bounds test for H arms on every
+    # frame-border halo row, flipping vote modes on frame rows 0/H-1
+    # (caught by the dryrun's new bit-equality assertion; same bug class
+    # as the wavefront frame-bottom vote-arms fix).  Interior halos have
+    # in-range indices — clamping is a no-op there.
+    ys = jnp.clip(row_start - halo + jnp.arange(Hp, dtype=jnp.int32),
+                  0, h_global - 1)[:, None]
     xs = jnp.arange(W, dtype=jnp.int32)[None, :]
     first_dist = 3 if legacy_quirk else 2
     dirs = ((0, -1), (0, 1), (-1, 0), (1, 0))
