@@ -67,7 +67,12 @@ def _vmem_need(D: int, H: int, radius: int, w_b: int) -> int:
     D=40, H=607, R=16, w_b=96 modelled 115.0 MB vs compiler-reported
     129.3 MB), so the result is inflated by 1.18x to keep the gate
     honest — without it the first config-3 band picked w_b=96 and died
-    in compile with a scoped-vmem OOM."""
+    in compile with a scoped-vmem OOM.  The 1.18 is calibrated from
+    that single shape, not derived structurally: if a NEW geometry
+    still hits a compile-time scoped-VMEM OOM here, the fix is to
+    re-measure Mosaic's reported total at that shape and raise the
+    factor (a compile failure, never silent corruption — Mosaic
+    rejects the program)."""
     T = 2 * radius + 1
     H_pad = _mult(H, 128)
     HL = _mult(T - 1 + H_pad, 128)

@@ -133,11 +133,18 @@ def _diag_wta_kernel(d1_ref, sc_ref, ct_ref, diag_a, diag_b, c1_ref, c2_ref,
         h2 = (r1 - h1.astype(jnp.float32)).astype(jnp.bfloat16)
         # ONE dot with the contraction dim tripled instead of three
         # summed dots: each output element still has exactly three
-        # nonzero products (one per split), and the splits occupy
-        # disjoint mantissa ranges of an f32, so the sum is exact in ANY
-        # accumulation order — same bits as (dot(h0)+dot(h1))+dot(h2),
-        # at a third of the per-row dot-dispatch latency (the row loop
-        # issues thousands of these small matmuls per call).
+        # nonzero products (one per split).  Exactness depends on the
+        # h0|h1|h2 CONCAT layout plus the MXU's sequential contiguous-
+        # block accumulation: h0 and h1 are adjacent in the reduction,
+        # so h0+h1 combines first and is exact (round-to-nearest
+        # splitting leaves h1 disjoint from h0's mantissa), then +h2
+        # is exact for the same reason.  A reduction that combined h0
+        # with h2 BEFORE h1 could round 1 ulp (h0+h2 alone can span 25
+        # mantissa bits) — do NOT interleave the splits in a refactor;
+        # the golden suite is the gate.  Same bits as
+        # (dot(h0)+dot(h1))+dot(h2), at a third of the per-row
+        # dot-dispatch latency (the row loop issues thousands of these
+        # small matmuls per call).
         hcat = jnp.concatenate([h0, h1, h2], axis=1)    # (d_block, 6*wb)
         onehot3 = jnp.concatenate([onehot] * 3, axis=0)  # (6*wb, wb)
         g = lax.dot_general(hcat, onehot3, (((1,), (0,)), ((), ())),
@@ -291,6 +298,12 @@ def two_min_pallas(cost, penalty_scale=None, penalty_center=None,
         cost_p = jnp.pad(cost.astype(dt), [(0, D_pad - D), (0, H_pad - H),
                                            (0, W_pad - W)])
     else:
+        if cost_padded.shape != (D_pad, H_pad, W_pad):
+            raise ValueError(
+                f"cost_padded shape {cost_padded.shape} does not match the "
+                f"padded geometry {(D_pad, H_pad, W_pad)} derived from cost "
+                f"{cost.shape}; was it built by two_min_pad on a different "
+                f"volume?")
         cost_p = cost_padded
 
     kernel = functools.partial(_two_min_kernel, D=D, d_block=d_block,
@@ -393,6 +406,12 @@ def wta_diag_pallas(diag_hdk, d1, penalty_scale=None, penalty_center=None,
         diag_p = jnp.pad(diag_hdk.astype(dt),
                          [(0, H_pad - H), (0, D_pad - D), (0, K_pad - K)])
     else:
+        if diag_padded.shape != (H_pad, D_pad, K_pad):
+            raise ValueError(
+                f"diag_padded shape {diag_padded.shape} does not match the "
+                f"padded geometry {(H_pad, D_pad, K_pad)} derived from "
+                f"diag_hdk {diag_hdk.shape}; was it built by diag_pad on a "
+                f"different volume?")
         diag_p = diag_padded
 
     kernel = functools.partial(_diag_wta_kernel, D=D, W=W, big=big,

@@ -170,6 +170,84 @@ print("CROSS_OK", pid, "shards", checked, flush=True)
 """
 
 
+DISP_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")   # axon sitecustomize override
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from stereo_matchin_tpu import StereoConfig
+from stereo_matchin_tpu.models import asw
+from stereo_matchin_tpu.parallel import distributed, make_asw_sharded
+
+addr, pid = sys.argv[1], int(sys.argv[2])
+distributed.initialize(coordinator_address=addr, num_processes=2,
+                       process_id=pid)
+assert jax.process_count() == 2
+assert len(jax.devices()) == 4
+
+cfg = StereoConfig(d_max=10, radius=3, arm_len=4, r_iters=2, k_iters=2)
+B, H, W = 1, 24, 20
+rng = np.random.default_rng(7)                       # same seed both procs
+left_np = (rng.integers(0, 256, (B, H, W, 3)) / np.float32(255.0)).astype(
+    np.float32)
+right_np = np.roll(left_np, -3, axis=2)
+noise = rng.integers(-10, 11, right_np.shape) / np.float32(255.0)
+right_np = np.clip(np.round((right_np + noise) * 255) / 255.0, 0,
+                   1).astype(np.float32)
+
+ref = jax.vmap(lambda l, r: asw.asw_pipeline(l, r, cfg))(
+    jnp.asarray(left_np), jnp.asarray(right_np))
+ref = jax.tree.map(np.asarray, ref)
+
+
+def run_and_check(mesh, tag):
+    spec = NamedSharding(mesh, P("batch", "row", None, None))
+    left = jax.make_array_from_callback((B, H, W, 3), spec,
+                                        lambda i: left_np[i])
+    right = jax.make_array_from_callback((B, H, W, 3), spec,
+                                         lambda i: right_np[i])
+    out = make_asw_sharded(cfg, mesh)(left, right)
+    jax.block_until_ready(out)
+    checked = 0
+    for name in ("disparity", "filled", "wta_left", "wta_right",
+                 "consistency_pre", "consistency_post"):
+        got, want = getattr(out, name), getattr(ref, name)
+        for shard in got.addressable_shards:
+            np.testing.assert_array_equal(
+                np.asarray(shard.data), want[shard.index],
+                err_msg=f"{tag} {name} shard {shard.index}")
+            checked += 1
+    assert checked >= 6, (tag, checked)
+
+
+# Mesh A: the DISP axis spans both processes — the WTA all_gather
+# two-min combine (the most intricate collective in the repo) crosses
+# the process boundary.  D=11 pads to 12 over 4 shards (3 planes each,
+# non-dividing D included).
+mesh_a = distributed.build_pod_mesh(row=1, disp=4)
+assert dict(mesh_a.shape) == {"batch": 1, "row": 1, "disp": 4}
+disp_procs = {d.process_index for d in mesh_a.devices[0, 0, :]}
+assert disp_procs == {0, 1}, disp_procs            # disp crosses DCN
+run_and_check(mesh_a, "dispDCN")
+
+# Mesh B: the ROW axis spans both processes — every per-iteration halo
+# ppermute crosses the process boundary (the existing 2-proc rigs put
+# batch across DCN and row within a process).
+mesh_b = distributed.build_pod_mesh(row=2, disp=2, batch=1)
+assert dict(mesh_b.shape) == {"batch": 1, "row": 2, "disp": 2}
+row_procs = [{d.process_index for d in mesh_b.devices[0, i, :]}
+             for i in range(2)]
+assert row_procs[0] != row_procs[1], row_procs     # row crosses DCN
+run_and_check(mesh_b, "rowDCN")
+
+print("DISP_OK", pid, flush=True)
+"""
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -217,3 +295,12 @@ def test_sharded_cross_pipeline_two_processes():
     shard of the row/batch-sharded initial, final, and median maps must
     equal the single-device fused pipeline bit-for-bit."""
     _run_two_workers(CROSS_WORKER, "CROSS_OK", timeout=420)
+
+
+def test_sharded_asw_disp_and_row_across_processes():
+    """Collectives crossing the PROCESS boundary: (a) a 1x1x4 mesh whose
+    disp axis spans both processes, so the WTA all_gather two-min
+    combine rides DCN; (b) a 1x2x2 mesh whose row axis spans both
+    processes, so every halo ppermute rides DCN.  Both must be
+    shard-exact against the single-device pipeline."""
+    _run_two_workers(DISP_WORKER, "DISP_OK", timeout=420)
