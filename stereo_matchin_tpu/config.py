@@ -58,6 +58,22 @@ class StereoConfig:
     # check, which makes the distance-2 similarity test a no-op: effective
     # checks run at distances 3..L+1.  True replicates; False checks 2..L+1.
     legacy_cross_arm_quirk: bool = True
+    # main.cpp:193 computes the median work-group count as
+    # ceil(width / 3), ceil(height / 3) with INTEGER division inside the
+    # ceil — i.e. floor — so the three Median dispatches (main.cpp:274,
+    # 279: the two input medians; 354: the final cross median) never
+    # write the bottom H mod 3 rows / right W mod 3 columns of their
+    # UNINITIALIZED output images (created without a host pointer,
+    # main.cpp:245-246, 255).  On the device that produced the committed
+    # goldens those rows read back as ZERO: art (H=359) is the only
+    # reference pair affected (384, 288, 375, 372, 450 all divide by 3),
+    # and emulating zeros takes our art initial map from 98.91% to
+    # 99.90% exact (the residual is measured float-order cost ties —
+    # see PARITY.md and scratch/adjudicate_art.py).  True replicates the
+    # zeroed rows/columns in cross_pipeline; default False computes
+    # every row (the correct behavior — and a no-op difference whenever
+    # both dimensions divide by 3).
+    median_dispatch_quirk: bool = False
 
     # --- backend selection -------------------------------------------------
     # "auto": Pallas TPU kernels on TPU backends, pure-jnp elsewhere;

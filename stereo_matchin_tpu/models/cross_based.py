@@ -33,6 +33,13 @@ def cross_pipeline_impl(left: jax.Array, right: jax.Array,
     """left/right: (H, W, 3) float32 in [0,1] on the UNORM8 grid."""
     ml = ops.median3x3(left)
     mr = ops.median3x3(right)
+    if cfg.median_dispatch_quirk:
+        # The reference's truncated Median dispatch leaves the bottom
+        # H mod 3 rows (and right W mod 3 columns) of the uninitialized
+        # median images unwritten — zero on the golden device
+        # (main.cpp:193,245-246; ops/median.py docstring).
+        ml = ops.median_dispatch_truncate(ml)
+        mr = ops.median_dispatch_truncate(mr)
     arms_l = ops.cross_arms(ml, cfg.arm_len, cfg.tau, cfg.legacy_cross_arm_quirk)
     arms_r = ops.cross_arms(mr, cfg.arm_len, cfg.tau, cfg.legacy_cross_arm_quirk)
     cost = ops.sad_cost_volume(ml, mr, cfg.num_disp)                # [0,1] scale
@@ -46,6 +53,10 @@ def cross_pipeline_impl(left: jax.Array, right: jax.Array,
                                quantize=cfg.quantize_maps,
                                arm_len=cfg.arm_len, impl=cfg.oii_impl)
     final = ops.median3x3(voted)
+    if cfg.median_dispatch_quirk:
+        # The final cross median (main.cpp:354) runs on the same
+        # truncated globalSize into another uninitialized image.
+        final = ops.median_dispatch_truncate(final)
     return CrossResult(initial=initial, final=final, median_left=ml)
 
 
@@ -95,11 +106,14 @@ def _vote_stage(initial, arms_l, d_max, quantize, arm_len, impl):
 
 
 _median_stage = jax.jit(ops.median3x3)
+_trunc_stage = jax.jit(ops.median_dispatch_truncate)
 
 
 def cross_pipeline_staged(left, right, cfg: StereoConfig) -> CrossResult:
     ml = _median_stage(left)
     mr = _median_stage(right)
+    if cfg.median_dispatch_quirk:
+        ml, mr = _trunc_stage(ml), _trunc_stage(mr)
     arms_l = _arms_stage(ml, cfg.arm_len, cfg.tau, cfg.legacy_cross_arm_quirk)
     arms_r = _arms_stage(mr, cfg.arm_len, cfg.tau, cfg.legacy_cross_arm_quirk)
     cost = _sad_stage(ml, mr, cfg.num_disp)
@@ -108,6 +122,8 @@ def cross_pipeline_staged(left, right, cfg: StereoConfig) -> CrossResult:
     initial = _init_stage(aggr, cfg.d_max, cfg.quantize_maps)
     final = _vote_stage(initial, arms_l, cfg.d_max, cfg.quantize_maps,
                         cfg.arm_len, cfg.oii_impl)
+    if cfg.median_dispatch_quirk:
+        final = _trunc_stage(final)
     return CrossResult(initial=initial, final=final, median_left=ml)
 
 

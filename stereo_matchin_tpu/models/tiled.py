@@ -173,6 +173,11 @@ def cross_pipeline_tiled(left, right, cfg: StereoConfig, num_bands: int,
     influence halo that the band driver crops, so banded == full for the
     kept rows; "pallas" is the TPU path, "taps" elsewhere.
     """
+    if cfg.median_dispatch_quirk:
+        raise ValueError(
+            "median_dispatch_quirk is a frame-level golden-comparison "
+            "quirk (truncated full-frame Median dispatches) and is not "
+            "meaningful per band; use cross_pipeline")
     if wavefront in ("auto", True):
         from . import wavefront_cross as wfc
 

@@ -310,6 +310,11 @@ def cross_pipeline_wavefront(left, right, cfg: StereoConfig,
     (initial, final), bit-identical to cross_pipeline with the
     translation-invariant taps/pallas OII impls.  Bands are synced before
     the next dispatch (bounding live HBM, as models/tiled)."""
+    if cfg.median_dispatch_quirk:
+        raise ValueError(
+            "median_dispatch_quirk models the reference's truncated "
+            "full-frame Median dispatches (golden comparisons only) and "
+            "is not implemented by the banded driver; use cross_pipeline")
     H = left.shape[0]
     geoms = plan_bands_cross(H, num_bands, cfg)
     if geoms is None:

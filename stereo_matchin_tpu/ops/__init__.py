@@ -14,7 +14,7 @@ from .common import (
     unorm8,
 )
 from .cost import sad_cost_volume, sad_cost_volume_t
-from .median import median3x3
+from .median import median3x3, median_dispatch_truncate
 from .cross import cross_arms
 from .support import support_weights
 from .aggregation import asw_aggregate, asw_aggregate_pass
@@ -61,6 +61,7 @@ __all__ = [
     "integral_h",
     "integral_v",
     "median3x3",
+    "median_dispatch_truncate",
     "oii_hcross",
     "oii_vcross",
     "quantize_disparity",

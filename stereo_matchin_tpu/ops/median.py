@@ -44,3 +44,24 @@ def median3x3(img):
             taps[i], taps[j])
     med = taps[4]                                          # (C, H, W)
     return jnp.moveaxis(med, 0, -1) if chan else med[0]
+
+
+def median_dispatch_truncate(out):
+    """Zero the rows/columns the reference's Median dispatches never write.
+
+    main.cpp:193 builds the median work-group count with INTEGER division
+    inside ceil() — floor — so globalSize = (3*(W//3), 3*(H//3)) and the
+    bottom H mod 3 rows / right W mod 3 columns of the Median kernels'
+    UNINITIALIZED output images (main.cpp:245-246, 255) are never
+    written; they read back as zero on the golden-producing device.
+    Gated by StereoConfig.median_dispatch_quirk; a shape-level no-op when
+    both dimensions divide by 3 (every reference pair except art).
+    """
+    H, W = out.shape[0], out.shape[1]
+    Hq, Wq = (H // 3) * 3, (W // 3) * 3
+    if Hq == H and Wq == W:
+        return out
+    row_ok = jnp.arange(H) < Hq
+    col_ok = jnp.arange(W) < Wq
+    keep = row_ok[:, None] & col_ok[None, :]
+    return jnp.where(keep[(...,) + (None,) * (out.ndim - 2)], out, 0.0)

@@ -284,6 +284,11 @@ def make_cross_sharded(cfg: StereoConfig, mesh: Mesh):
     sharded maps.  Matches cross_pipeline with oii_impl='taps' bit-exactly
     (tests).  Note: the histogram vote runs with the full disparity count
     on every disp shard (its input is a map, not the cost volume)."""
+    if cfg.median_dispatch_quirk:
+        raise ValueError(
+            "median_dispatch_quirk models the reference's truncated "
+            "full-frame Median dispatches (golden comparisons only) and "
+            "is not implemented by the sharded driver; use cross_pipeline")
     n_row = mesh.shape[AXIS_ROW]
     n_disp = mesh.shape[AXIS_DISP]
     d_pad = math.ceil(cfg.num_disp / n_disp) * n_disp

@@ -95,23 +95,30 @@ def test_asw_other_pairs(pair):
 @pytest.mark.parametrize("pair", ["teddy", "cones", "art", "laundry"])
 def test_cross_other_pairs(pair):
     """Cross-method goldens on the other four pairs (all pristine).
-    Measured round 3 (CPU) after the unorm8 ties-toward-zero fix:
-    initial exact 98.74-99.76% (in 8-BIT space — every stored unit
-    matches) / bad2 <= 0.89%; final exact 99.05-99.81% / bad2 <= 0.87%.
-    Round 2's '~9-13% one-level vote differences' were entirely the tie
-    rounding: 100% of the initial-map diffs sat at d = 6 (mod 8), one
-    8-bit unit high, and the fix collapsed the vote spread with them."""
+
+    Run with median_dispatch_quirk: the reference's Median work-group
+    count uses integer division inside ceil (main.cpp:193), so the
+    bottom H mod 3 rows of its uninitialized median images are never
+    written (zero on the golden device) — a no-op for teddy/cones/
+    laundry (heights divide by 3) and the round-3 'art residual' in
+    full: art initial went 98.91% -> 99.90% exact with the quirk
+    modeled.  The remaining art diffs are MEASURED float-order cost
+    ties (scratch/adjudicate_art.py: p50 relative margin 0, 100%
+    <= 1e-4; PARITY.md quality section).  Measured round 4 (CPU,
+    prefix impl): initial exact 99.68-99.76 / bad2 <= 0.12; final
+    exact 99.63-99.81 / bad2 <= 0.30 across the four pairs."""
     left, right = load_pair(pair)
+    cfg = REFERENCE_CONFIG.replace(median_dispatch_quirk=True)
     res = cross_based.cross_pipeline(jnp.asarray(left), jnp.asarray(right),
-                                     REFERENCE_CONFIG)
+                                     cfg)
     initial = compare_to_golden(np.asarray(res.initial), pair,
                                 "cross_based_initial.png")
     final = compare_to_golden(np.asarray(res.final), pair,
                               "cross_based_disparity.png")
-    assert initial.exact_pct > 98.5, f"{pair}: {initial}"
-    assert initial.bad2_pct < 1.0, f"{pair}: {initial}"
-    assert final.exact_pct > 98.8, f"{pair}: {final}"
-    assert final.bad2_pct < 1.0, f"{pair}: {final}"
+    assert initial.exact_pct > 99.6, f"{pair}: {initial}"
+    assert initial.bad2_pct < 0.2, f"{pair}: {initial}"
+    assert final.exact_pct > 99.5, f"{pair}: {final}"
+    assert final.bad2_pct < 0.4, f"{pair}: {final}"
 
 
 def test_cross_staged_matches_fused(tsukuba):
