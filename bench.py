@@ -424,6 +424,77 @@ def _timed(thunk) -> float:
     return (time.perf_counter() - t0) * 1e3
 
 
+# Measured streamed-FMA floor for the dres pass kernels: aligned-static
+# everything, HBM-streamed blocks, config-3 band geometry
+# (scratch/prof_vparts.py ladder, PARITY.md roofline section).  A pass
+# kernel can't run faster than this on the v5e VPU without changing the
+# algebra; the ratio of a measured pass to it is the MFU-style
+# efficiency number a schedule regression shows up in.
+AGGR_FLOOR_PS = 1.56
+
+
+def bench_roofline(runs: int = 6):
+    """Kernel-efficiency lines (VERDICT r3 item 5): isolated dres v/h
+    pass kernels, slope-timed (hoisted prep + den, so the measurement is
+    the kernel dispatch alone), reported as ps per tap-element together
+    with the ratio to AGGR_FLOOR_PS.  Two geometries: the config-3
+    interior-band chunk (D=72, W=2880, 512 lanes — the full-extent
+    wavefront schedule) and teddy (D=61 unchunked, 450x375 transposed).
+    Returns {metric: (ps_per_tapelem, floor_ratio)}."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_matchin_tpu.kernels.asw_aggregation_dres import (
+        asw_den_dres, asw_hpass_dres, asw_vpass_dres, dres_prepare,
+        dres_vmem_fits)
+
+    R = 16
+    T = 2 * R + 1
+    out = {}
+    # Transposed dres layout (T|D, W, H): W = image width (sublane
+    # blocks), H = image height (lanes).  band = one config-3 interior
+    # chunk at the full-extent lane count; teddy = D=61 unchunked.
+    for tag, (D, W, H, ms) in (("band", (72, 2880, 512, 287)),
+                               ("teddy", (61, 450, 375, 60))):
+        if not dres_vmem_fits(D, H, R):
+            continue
+        rng = np.random.default_rng(0)
+        wl = jnp.asarray(rng.random((T, W, H), dtype=np.float32))
+        wr = jnp.asarray(rng.random((T, W, H), dtype=np.float32))
+        cost = jnp.asarray(rng.random((D, W, H), dtype=np.float32))
+        prep = jax.jit(lambda a, b: dres_prepare(a, b, R, D, d0=0,
+                                                 max_shift=ms))(wl, wr)
+        den = jax.jit(lambda a, b, p: asw_den_dres(
+            a, b, R, 1e-5, False, d0=0, num_disp=D, max_shift=ms,
+            prep=p, crop=False))(wl, wr, prep)
+
+        def vp(c):
+            return asw_vpass_dres(c, wl, wr, R, 1e-5, False, d0=0,
+                                  den=den, max_shift=ms, prep=prep)
+
+        def hp(c):
+            return asw_hpass_dres(c, wl, wr, R, 1e-5, False, d0=0,
+                                  den=den, max_shift=ms, prep=prep)
+
+        for name, fn in (("vpass", jax.jit(vp)), ("hpass", jax.jit(hp))):
+            _sync(fn(cost))                       # compile
+            def block(n):
+                t0 = time.perf_counter()
+                o = cost
+                for _ in range(n):
+                    o = fn(cost)
+                _sync(o)
+                return time.perf_counter() - t0
+            n1, n2 = 2, 2 + runs
+            t1 = min(block(n1) for _ in range(2))
+            t2 = min(block(n2) for _ in range(2))
+            sec = _safe_slope(t1, t2, n1, n2, f"roofline_{name}_{tag}")
+            ps = sec * 1e12 / (D * W * H * T)
+            out[f"aggr_{name}_{tag}_ps_per_tapelem"] = (
+                round(ps, 3), round(ps / AGGR_FLOOR_PS, 3))
+    return out
+
+
 # The reference's own CPU OpenCL rate: i7-4710HQ tsukuba ASW total
 # 1935 ms (BASELINE.md measured table) -> 384*288*61 / 1.935 s.  Config 0
 # is the CPU-runnable config, so a CPU anchor is the comparable baseline —
@@ -520,9 +591,24 @@ cfg_d8 = cfg.replace(d_max=8 * (cfg.d_max + 1) - 1)
 d1 = run(1, MeshConfig(batch=1, row=1, disp=1), config=cfg_d1)
 d8 = run(1, MeshConfig(batch=1, row=1, disp=8), config=cfg_d8)
 eff_disp = (d8["mpix_s"] * cfg_d8.num_disp / 8.0) / (d1["mpix_s"] * cfg_d1.num_disp)
+# Disp axis at REAL disparity scale (round-3 VERDICT item 6): config-2's
+# ~29 planes per shard (d_max=231 over 8 shards vs 29 planes unsharded)
+# on a small spatial tile — the toy line above (2 planes/shard) floors
+# on per-shard fixed costs the real workloads amortise.
+cfg_dr1 = cfg.replace(d_max=28)
+cfg_dr8 = cfg.replace(d_max=231)
+dr1 = run(1, MeshConfig(batch=1, row=1, disp=1), config=cfg_dr1,
+          height=64, width=96)
+dr8 = run(1, MeshConfig(batch=1, row=1, disp=8), config=cfg_dr8,
+          height=64, width=96)
+eff_disp_real = ((dr8["mpix_s"] * cfg_dr8.num_disp / 8.0)
+                 / (dr1["mpix_s"] * cfg_dr1.num_disp))
 out = {"eff": eff, "mpix_1dev": r1["mpix_s"], "mpix_8dev": r8["mpix_s"],
        "eff_row": eff_row, "mpix_row8": s8["mpix_s"],
-       "row_comm_pct": comm_pct, "eff_disp": eff_disp}
+       "row_comm_pct": comm_pct, "eff_disp": eff_disp,
+       "eff_disp_real": eff_disp_real,
+       "stable": all(x.get("stable", True) for x in
+                     (r1, r8, s1, s8, s8l, d1, d8, dr1, dr8))}
 # Reference-geometry anchor for the row axis (VERDICT r2 item 6): the
 # tsukuba workload at the full reference config, 2-way row-sharded vs
 # unsharded — the scaling numbers above use toy geometry, this one
@@ -687,6 +773,18 @@ def main() -> int:
                               "unit": "Mdisp/s", "error": repr(e)[:200]}),
                   flush=True)
 
+    # Kernel-efficiency (roofline) lines: ps/tap-element of the isolated
+    # dres pass kernels vs the measured streamed-FMA floor, so a kernel
+    # schedule regression is visible in the driver artifact instead of as
+    # a diffuse throughput drop (round-3 VERDICT item 5).
+    try:
+        for name, (ps, ratio) in bench_roofline().items():
+            emit(name, ps, ratio, unit="ps",
+                 floor_ps=AGGR_FLOOR_PS)
+    except Exception as e:  # noqa: BLE001 — bench must report what it can
+        print(json.dumps({"metric": "aggr_roofline", "value": None,
+                          "unit": "ps", "error": repr(e)[:200]}),
+              flush=True)
     # BASELINE config 4: batched video-rate stream at KITTI resolution
     # (fallback ladder inside — `mode` records which rung produced it).
     try:
@@ -737,17 +835,31 @@ def main() -> int:
 
         speedup = rep["eff"] * 8.0
         ceiling = min(8, os.cpu_count() or 8)
+        # Every scaling line carries the contention flag: the subprocess
+        # re-times each block until the two fastest agree within 10%
+        # (scaling_report); stability=false marks a line measured under
+        # host load (round-3 VERDICT item 6 — an r02->r03 swing came
+        # from a concurrent pytest run).
+        stab = {"stable": bool(rep.get("stable", True))}
         emit("weak_scaling_8dev_cpu_mesh_speedup", speedup,
-             speedup / ceiling, unit="x")
+             speedup / ceiling, unit="x", **stab)
         if "eff_row" in rep:
             row_speedup = rep["eff_row"] * 8.0
             emit("weak_scaling_8dev_row_mesh_speedup", row_speedup,
                  row_speedup / ceiling, unit="x",
-                 halo_comm_pct=round(rep.get("row_comm_pct", 0.0), 1))
+                 halo_comm_pct=round(rep.get("row_comm_pct", 0.0), 1),
+                 **stab)
         if rep.get("eff_disp") is not None:
             disp_speedup = rep["eff_disp"] * 8.0
             emit("weak_scaling_8dev_disp_mesh_speedup", disp_speedup,
-                 disp_speedup / ceiling, unit="x")
+                 disp_speedup / ceiling, unit="x", **stab)
+        if rep.get("eff_disp_real") is not None:
+            # Disp axis at config-2's per-shard plane count (29 planes
+            # per shard, d_max=231 over 8): the toy line above floors on
+            # per-shard fixed costs that real disparity counts amortise.
+            disp_real = rep["eff_disp_real"] * 8.0
+            emit("weak_scaling_8dev_disp_mesh_232d_speedup", disp_real,
+                 disp_real / ceiling, unit="x", **stab)
         if rep.get("eff_row2_ref_geom") is not None:
             # Strong-scaling anchor at the REFERENCE geometry (tsukuba
             # 384x288, full config): 2-way row-sharded vs unsharded on

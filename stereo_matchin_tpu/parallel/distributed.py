@@ -90,11 +90,24 @@ def scaling_report(step_fn, left, right, mesh: Mesh, runs: int = 5,
         sync(out)
         return time.perf_counter() - t0
 
-    ms = min(block() for _ in range(max(repeats, 1))) / runs * 1000.0
+    # Host-contention detection (round-3 VERDICT item 6): keep timing
+    # blocks until the two fastest agree within 10%, up to 2x the
+    # requested repeats; a line that cannot converge is marked unstable
+    # so a swing under concurrent host load reads as noise, not as a
+    # scaling regression.
+    times = [block() for _ in range(max(repeats, 2))]
+    stable = False
+    for _ in range(max(repeats, 2)):
+        two = sorted(times)[:2]
+        if two[1] - two[0] <= 0.10 * two[0]:
+            stable = True
+            break
+        times.append(block())
+    ms = min(times) / runs * 1000.0
     n_dev = mesh.devices.size
     B, H, W = left.shape[0], left.shape[1], left.shape[2]
     # Mdisp/s needs the disparity count from the caller's cfg; report
     # pixel throughput and let callers scale.
     mpix_s = B * H * W / (ms / 1000.0) / 1e6
     return {"ms": ms, "mpix_s": mpix_s, "mpix_s_per_device": mpix_s / n_dev,
-            "devices": n_dev}
+            "devices": n_dev, "stable": stable}
