@@ -454,8 +454,10 @@ def bench_roofline(runs: int = 6):
     # Transposed dres layout (T|D, W, H): W = image width (sublane
     # blocks), H = image height (lanes).  band = one config-3 interior
     # chunk at the full-extent lane count; teddy = D=61 unchunked.
-    for tag, (D, W, H, ms) in (("band", (72, 2880, 512, 287)),
-                               ("teddy", (61, 450, 375, 60))):
+    # teddy first: its kernels compile in seconds, so at least those
+    # lines survive a relay compile failure on the heavier band pair.
+    for tag, (D, W, H, ms) in (("teddy", (61, 450, 375, 60)),
+                               ("band", (72, 2880, 512, 287))):
         if not dres_vmem_fits(D, H, R):
             continue
         rng = np.random.default_rng(0)
@@ -468,30 +470,41 @@ def bench_roofline(runs: int = 6):
             a, b, R, 1e-5, False, d0=0, num_disp=D, max_shift=ms,
             prep=p, crop=False))(wl, wr, prep)
 
-        def vp(c):
+        # Operands (incl. the ~800 MB unfolded prep at band geometry)
+        # must be jit ARGUMENTS: closing over them embeds them as HLO
+        # constants, and shipping that HLO through the relay's remote
+        # compile breaks the pipe.
+        def vp(c, wl, wr, den, prep):
             return asw_vpass_dres(c, wl, wr, R, 1e-5, False, d0=0,
                                   den=den, max_shift=ms, prep=prep)
 
-        def hp(c):
+        def hp(c, wl, wr, den, prep):
             return asw_hpass_dres(c, wl, wr, R, 1e-5, False, d0=0,
                                   den=den, max_shift=ms, prep=prep)
 
-        for name, fn in (("vpass", jax.jit(vp)), ("hpass", jax.jit(hp))):
-            _sync(fn(cost))                       # compile
-            def block(n):
-                t0 = time.perf_counter()
-                o = cost
-                for _ in range(n):
-                    o = fn(cost)
-                _sync(o)
-                return time.perf_counter() - t0
-            n1, n2 = 2, 2 + runs
-            t1 = min(block(n1) for _ in range(2))
-            t2 = min(block(n2) for _ in range(2))
-            sec = _safe_slope(t1, t2, n1, n2, f"roofline_{name}_{tag}")
-            ps = sec * 1e12 / (D * W * H * T)
-            out[f"aggr_{name}_{tag}_ps_per_tapelem"] = (
-                round(ps, 3), round(ps / AGGR_FLOOR_PS, 3))
+        for name, f in (("vpass", jax.jit(vp)), ("hpass", jax.jit(hp))):
+            fn = lambda c, f=f: f(c, wl, wr, den, prep)
+            # Per-kernel isolation: one relay compile failure must not
+            # take down the other roofline lines.
+            try:
+                _sync(fn(cost))                   # compile
+                def block(n):
+                    t0 = time.perf_counter()
+                    o = cost
+                    for _ in range(n):
+                        o = fn(cost)
+                    _sync(o)
+                    return time.perf_counter() - t0
+                n1, n2 = 2, 2 + runs
+                t1 = min(block(n1) for _ in range(2))
+                t2 = min(block(n2) for _ in range(2))
+                sec = _safe_slope(t1, t2, n1, n2, f"roofline_{name}_{tag}")
+                ps = sec * 1e12 / (D * W * H * T)
+                out[f"aggr_{name}_{tag}_ps_per_tapelem"] = (
+                    round(ps, 3), round(ps / AGGR_FLOOR_PS, 3))
+            except Exception as e:  # noqa: BLE001 — report what we can
+                print(f"bench_roofline: {name}_{tag} failed: "
+                      f"{e!r}"[:200], file=sys.stderr, flush=True)
     return out
 
 

@@ -273,11 +273,34 @@ def _first_aggregate(lt, rt, cfg: StereoConfig, geom: _Geom,
 
 def _wave_aggregate(lt, rt, strips_in, astrip_in, cfg: StereoConfig,
                     geom: _Geom, interpret: bool):
-    """Wavefront ladder for an interior/last band: every level computes
-    exactly N = e - s fresh rows, seeded by the previous band's strips."""
+    """Wavefront ladder for an interior/last band, full-extent schedule.
+
+    Every level runs the plain full-extent pass kernels over ONE shared
+    lane extent [wg0, wg0 + wlen2), wlen2 = N + (r+1)·R (exactly 512
+    lanes at BASELINE config 3 — a lane-tile multiple).  Level i's valid
+    rows are [v_i, v_i + N), v_i = lo_i - wg0 = (r-i+1)·R; its input is
+    valid on [v_i - R, v_i + N + R) because the previous band's 2R-row
+    strip is dynamic-update-sliced over exactly the lanes below the
+    previous level's validity, and lanes outside that range hold garbage
+    no valid tap ever reads (level i+1's strip lands on [v_i - 2R, v_i),
+    precisely the garbage its input window would touch).  Valid rows are
+    bit-identical to the windowed schedule this replaces: each output
+    row is the same kernel expression over the same input rows either
+    way (pinned banded == full by tests/test_wavefront.py).
+
+    Versus the round-3 per-level-window schedule, this hoists the weight
+    pad/unfold (dres_prepare) and the denominators out of the level loop
+    entirely — once per chunk, as the first band always could — and
+    deletes the per-level weight/den window slices; profiler-traced,
+    those were ~215 ms of the 723 ms aggregation at the config-3
+    interior band (window slices 0.5-1.1 ms × 4 weights + 2 dens × 24
+    level-calls, plus re-padding/unfolding inside every pass call).  The
+    cost: kernels compute wlen2 instead of N lanes (512 vs 384 at
+    config 3, +1/3 on garbage lanes), a net measured win."""
     from ..kernels.asw_aggregation_dres import (asw_den_dres,
                                                 asw_hpass_dres,
-                                                asw_vpass_dres_win)
+                                                asw_vpass_dres,
+                                                dres_prepare)
 
     R, D, r = cfg.radius, cfg.num_disp, cfg.r_iters
     keep = _keep(cfg)
@@ -295,85 +318,93 @@ def _wave_aggregate(lt, rt, strips_in, astrip_in, cfg: StereoConfig,
     # so the scan body's live set excludes the 2*keep tail-only rows of
     # the band slice (HBM headroom at Middlebury-2014 geometry).
     wg0 = s + keep - R
-    # Weight strips (and the dens derived from them) are padded to the
-    # maximal level-slice extent N + r*R with edge replicas — when g1
-    # clamps at the frame bottom those replicas ARE the reference
-    # kernels' clamp-at-H-1 reads (only garbage output rows consume
-    # them).  This keeps every per-level slice a fixed-size
-    # dynamic_slice, so levels 2..r roll into one lax.scan body (an
-    # unrolled ladder made the XLA program huge).
-    wlen = N + r * R
+    # Shared extent: level 1's input (the SAD cost) reaches deepest, to
+    # lo_1 + N + R = wg0 + wlen2; plan_bands sizes the image slice so
+    # g1 >= min-with-frame-bottom of that row (equality on interior
+    # bands).  Rows past g1 are edge replicas (_rows) — the reference
+    # kernels' clamp-at-H-1 reads, consumed only by garbage rows.
+    wlen2 = N + (r + 1) * R
     wv_l, wv_r, wh_l, wh_r = (
-        _rows(w, wg0, wg0 + wlen, g0, g1) for w in _weights_t(lt, rt, cfg))
+        _rows(w, wg0, wg0 + wlen2, g0, g1) for w in _weights_t(lt, rt, cfg))
     l3, ext = _cost_images(lt[:, wg0 - g0:], rt[:, wg0 - g0:], Dp)
-    # Level-slice offsets into the trimmed strips: lo_i - wg0 = (r-i+1)*R.
-    offs = jnp.asarray([(r - i + 1) * R for i in range(2, r + 1)], jnp.int32)
-    lims = jnp.asarray([H - lo[i] for i in range(2, r + 1)], jnp.int32)
-    # Statically no level window crosses the frame bottom on an interior
-    # band (hi_1 <= H by plan_bands); only the last band traces the fix.
-    overflow = lo[1] + N > H
+    # Strip placement lanes v_i - R = (r-i)·R and tail-capture lanes
+    # v_i + N - 2R for the scan over levels 2..r (each level captures its
+    # OWN output tail — capturing level i-1's tail from the carry made
+    # the carry dual-consumed and forced XLA to copy the 425 MB volume
+    # before every strip update; from `out` the update aliases in place).
+    offs = jnp.asarray([(r - i) * R for i in range(2, r + 1)], jnp.int32)
+    tails_at = jnp.asarray([(r - i + 1) * R + N - 2 * R
+                            for i in range(2, r + 1)], jnp.int32)
+    # Frame-bottom fix: rows at/past the frame bottom must read as
+    # row-(H-1) replicas.  In extent coordinates the limit is the SAME
+    # static lane for every level (H - wg0); statically a no-op on
+    # interior bands (plan_bands keeps hi_1 <= H there).
+    lim = H - wg0
 
-    def fix_bottom_dyn(lvl, lim):
-        """Rows at/past the frame bottom become row-(H-1) replicas — the
-        clamp value every downstream read of them must see."""
-        if not overflow:
+    def fix_bottom(lvl):
+        if lim >= wlen2:
             return lvl
-        rep = lax.dynamic_slice_in_dim(
-            lvl, jnp.clip(lim - 1, 0, N - 1), 1, axis=2)
-        return jnp.where(jnp.arange(N, dtype=jnp.int32) < lim, lvl, rep)
+        rep = lax.slice_in_dim(lvl, lim - 1, lim, axis=2)
+        return jnp.where(jnp.arange(wlen2, dtype=jnp.int32) < lim, lvl, rep)
 
     def body(carry, d0):
         acc, strips_acc, astrip_acc = carry
+        # Hoisted across ALL levels of this chunk (the round-3 windowed
+        # schedule re-prepared inside every pass call).
+        prep_v = dres_prepare(wv_l, wv_r, R, chunk, d0=d0, max_shift=ms)
+        prep_h = dres_prepare(wh_l, wh_r, R, chunk, d0=d0, max_shift=ms)
         den_v = asw_den_dres(wv_l, wv_r, R, cfg.eps, interpret, d0=d0,
-                             num_disp=chunk, max_shift=ms)
+                             num_disp=chunk, max_shift=ms, prep=prep_v,
+                             crop=False)
         den_h = asw_den_dres(wh_l, wh_r, R, cfg.eps, interpret, d0=d0,
-                             num_disp=chunk, max_shift=ms)
+                             num_disp=chunk, max_shift=ms, prep=prep_h,
+                             crop=False)
 
-        def run_level(inp, off, lim):
-            sl = lambda a: lax.dynamic_slice_in_dim(a, off, N, axis=2)
-            v = asw_vpass_dres_win(inp, sl(wv_l), sl(wv_r), R, cfg.eps,
-                                   interpret, d0=d0, den=sl(den_v),
-                                   max_shift=ms)
-            out = asw_hpass_dres(v, sl(wh_l), sl(wh_r), R, cfg.eps,
-                                 interpret, d0=d0, den=sl(den_h),
-                                 max_shift=ms)
-            return fix_bottom_dyn(out, lim)
+        def run_level(inp):
+            v = asw_vpass_dres(inp, wv_l, wv_r, R, cfg.eps, interpret,
+                               d0=d0, den=den_v, max_shift=ms, prep=prep_v)
+            out = asw_hpass_dres(v, wh_l, wh_r, R, cfg.eps, interpret,
+                                 d0=d0, den=den_h, max_shift=ms, prep=prep_h)
+            return fix_bottom(out)
 
-        # Level 0 (SAD cost) over level 1's input window — recomputed from
-        # the images (3 FLOPs/element; not worth a strip); level 1 peeled
-        # (its input is the cost window, not a strip + previous level).
+        # Level 0 (SAD cost) — recomputed from the images (3 FLOPs per
+        # element; not worth a strip), valid over the whole extent.
         cost = _rows(_cost_chunk(l3, ext, d0, chunk, Dp, W),
-                     lo[1] - R, lo[1] + N + R, wg0, g1)
-        lvl1 = run_level(cost, r * R, H - lo[1])
+                     wg0, wg0 + wlen2, wg0, g1)
+        lvl1 = run_level(cost)
 
         def level(lvl, x):
-            strip, off, lim = x                       # [lo_i - R, lo_i + R)
-            out = run_level(jnp.concatenate([strip, lvl], axis=2), off, lim)
-            return out, out[:, :, N - 2 * R:]
+            # strip = previous band's level-(i-1) rows [lo_i - R, lo_i + R),
+            # placed over exactly the lanes below level i-1's validity;
+            # tail = THIS level's strip for the next band,
+            # [hi_i - 2R, hi_i), read from the fresh output.
+            strip, off, tail_at = x
+            inp = lax.dynamic_update_slice(lvl, strip, (0, 0, off))
+            out = run_level(inp)
+            return out, lax.dynamic_slice_in_dim(out, tail_at, 2 * R, axis=2)
 
         if r > 1:
             strips_chunk = lax.dynamic_slice(
                 strips_in, (0, d0, 0, 0), (r - 1, chunk, W, 2 * R))
-            # NOT unrolled: a full unroll would constant-fold offs/lims
-            # and turn the per-level weight/den window slices into static
-            # lane slices (~0.5 ms each saved), but the 6x-inlined ladder
-            # sent the config-3 compile past 9 minutes (re-measured round
-            # 3; same blowup the original design note recorded).
-            lvl, tails = lax.scan(level, lvl1, (strips_chunk, offs, lims))
+            lvl, tails = lax.scan(level, lvl1,
+                                  (strips_chunk, offs, tails_at))
             if emit:
-                # Emitted strips are levels 1..r-1: level 1's tail plus
-                # the scan's outputs for levels 2..r-1.
-                out_strips = jnp.concatenate(
-                    [lvl1[None, :, :, N - 2 * R:], tails[:r - 2]])
+                # Emitted strips are levels 1..r-1: level 1's tail (the
+                # peel) plus the scan's tails for levels 2..r-1.
+                lvl1_tail = lax.slice_in_dim(
+                    lvl1, r * R + N - 2 * R, r * R + N, axis=2)
+                out_strips = jnp.concatenate([lvl1_tail[None],
+                                              tails[:r - 2]])
                 strips_acc = lax.dynamic_update_slice(
                     strips_acc, out_strips, (0, d0, 0, 0))
         else:
             lvl = lvl1
         acc = lax.dynamic_update_slice(
-            acc, lax.slice_in_dim(lvl, 0, n_agg, axis=2), (d0, 0, 0))
+            acc, lax.slice_in_dim(lvl, R, R + n_agg, axis=2), (d0, 0, 0))
         if emit:
             astrip_acc = lax.dynamic_update_slice(
-                astrip_acc, lvl[:, :, N - 2 * keep:], (d0, 0, 0))
+                astrip_acc, lax.slice_in_dim(
+                    lvl, R + N - 2 * keep, R + N, axis=2), (d0, 0, 0))
         return (acc, strips_acc, astrip_acc), None
 
     acc0 = jnp.zeros((Dp, W, n_agg), jnp.float32)

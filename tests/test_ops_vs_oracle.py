@@ -301,3 +301,39 @@ def test_pipeline_determinism(rng):
     b = asw.asw_pipeline(jnp.asarray(left), jnp.asarray(right), cfg)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_unorm8_closed_form_vs_correctly_rounded_table():
+    """ops.unorm8's bitcast closed form == round-half-toward-zero to the
+    8-bit grid followed by the CORRECTLY ROUNDED fl(k/255), jitted and
+    eager alike — on every d/d_max grid the pipelines feed it, the exact
+    8-bit tie points, and a dense [0,1] sweep.  (The closed form
+    replaced a 256-entry gather that lowered ~17x slower inside the
+    refinement k-loop; the table here is the semantics oracle.)"""
+    import jax
+
+    from stereo_matchin_tpu import ops
+
+    table = (np.arange(256, dtype=np.float64) / 255.0).astype(np.float32)
+
+    def expect(v):
+        t = v.astype(np.float32) * np.float32(255.0)
+        f = np.floor(t)
+        k = (f + (t - f > np.float32(0.5))).astype(np.int64)
+        return table[np.clip(k, 0, 255)]
+
+    cases = [np.linspace(0.0, 1.0, 1 << 16, dtype=np.float32)]
+    for d_max in (5, 23, 60, 231, 279):
+        cases.append((np.arange(d_max + 1) / np.float32(d_max)).astype(
+            np.float32))
+    # exact 8-bit half points (the tie rule's visible set) and +-1 ulp
+    halves = ((np.arange(255, dtype=np.float64) + 0.5) / 255.0).astype(
+        np.float32)
+    cases += [halves, np.nextafter(halves, 0, dtype=np.float32),
+              np.nextafter(halves, 1, dtype=np.float32)]
+    fn = jax.jit(ops.unorm8)
+    for v in cases:
+        np.testing.assert_array_equal(np.asarray(fn(jnp.asarray(v))),
+                                      expect(v))
+        np.testing.assert_array_equal(np.asarray(ops.unorm8(jnp.asarray(v))),
+                                      expect(v))
