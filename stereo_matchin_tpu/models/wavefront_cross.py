@@ -192,9 +192,20 @@ def _cross_band_impl(l, r, strips, cfg: StereoConfig, geom: _GeomC,
         if oii_t_profitable(n_rows, ml_w.shape[1]):
             # Build the volume directly in the transposed (D, W, H)
             # layout the kernel consumes — identical values
-            # (ops.sad_cost_volume_t), no full-volume relayout.
-            cost_t = ops.sad_cost_volume_t(jnp.swapaxes(ml_w, 0, 1),
-                                           jnp.swapaxes(mr_w, 0, 1), D)
+            # (ops.sad_cost_volume_t), no full-volume relayout.  The
+            # Pallas builder replaces XLA's three per-channel stacked
+            # intermediates (measured 29.1 -> ~4 ms at the config-3
+            # band; bit-identical at scale 1).
+            from ..kernels.sad_volume import (sad_volume_fits,
+                                              sad_volume_t_pallas)
+
+            lt_w = jnp.swapaxes(ml_w, 0, 1)
+            rt_w = jnp.swapaxes(mr_w, 0, 1)
+            if sad_volume_fits(D, lt_w.shape[0], lt_w.shape[1]):
+                cost_t = sad_volume_t_pallas(lt_w, rt_w, D,
+                                             interpret=interpret)
+            else:
+                cost_t = ops.sad_cost_volume_t(lt_w, rt_w, D)
             temp_fresh = oii_hpass_pallas_t(cost_t, al_t, ar_t, L,
                                             interpret=interpret,
                                             transposed_in=True)

@@ -144,3 +144,25 @@ def test_oii_hpass_transposed_matches_grid(rng):
     got = oii_hpass_pallas_t(cost, arms_l, arms_r, 3, interpret=True,
                              d0=jnp.asarray(5), max_shift=8)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sad_volume_pallas_matches_jnp():
+    """kernels/sad_volume.py vs ops.sad_cost_volume_t at scale 1 (the
+    cross pipelines' scale): bit-identical, including non-dividing W/D
+    and the x < d left-edge clamp.  (At scale != 1 the kernel follows
+    the oracle's literal scale-then-subtract order while XLA's jitted
+    builder reassociates — a 1-ulp divergence class documented in the
+    kernel; the cross path never scales.)"""
+    import jax
+
+    from stereo_matchin_tpu import ops
+    from stereo_matchin_tpu.kernels.sad_volume import sad_volume_t_pallas
+
+    rng = np.random.default_rng(3)
+    for (W, H, D) in ((200, 130, 61), (97, 41, 11), (288, 100, 280)):
+        lt = jnp.asarray(rng.random((W, H, 3), dtype=np.float32))
+        rt = jnp.asarray(rng.random((W, H, 3), dtype=np.float32))
+        want = np.asarray(jax.jit(
+            lambda a, b, D=D: ops.sad_cost_volume_t(a, b, D))(lt, rt))
+        got = np.asarray(sad_volume_t_pallas(lt, rt, D, interpret=True))
+        np.testing.assert_array_equal(got, want, err_msg=f"{(W, H, D)}")
