@@ -213,7 +213,9 @@ def time_asw_method(left, right, cfg: StereoConfig) -> Dict[str, float]:
         cres = t.run("consistency_ref", cons_j, q(r.disp_ref), right_q, cr, ct)
         filled_q, conf_ref, conf_tar = cres.filled, cres.conf_ref, cres.conf_target
 
-    t.run("median", j["median"], filled_q / cfg.d_max)
+    t.run("median", j["median"],
+          ops.image_from_q(filled_q, cfg.d_max) if cfg.quantize_maps
+          else ops.to_unit(filled_q, cfg.d_max))
 
     k = max(cfg.k_iters, 1)
     times = {

@@ -442,11 +442,28 @@ def oii_t_profitable(H: int, W: int) -> bool:
     full arm planes outgrow the 64 MB scoped-VMEM grant (full-height
     Middlebury-2014 frames; the config-3 wavefront band at H~500 fits,
     and its sublane tap walk beats the grid kernel's per-tap lane roll
-    2.55 -> 1.75 ps/tap-elem)."""
+    2.55 -> 1.75 ps/tap-elem).
+
+    Area-inflation tolerance 1.2 (round 5): the FIRST config-3 wavefront
+    band has a 548-row temp window -> 640 padded lanes, ratio 1.16,
+    which the old 1.1 gate pushed onto the untransposed path at a
+    measured 64.6 + 10.4 ms (kernel + XLA cost-volume build) vs
+    ~30 ms transposed for an interior band (scratch/prof_band_first.py)
+    — the single largest item of the band->frame throughput gap.
+    tsukuba (ratio 1.33), where the untransposed path measured faster,
+    stays excluded."""
     m8, m128 = (lambda x: -(-x // 8) * 8), (lambda x: -(-x // 128) * 128)
-    if m8(W) * m128(H) > 1.1 * m8(H) * m128(W):
+    if m8(W) * m128(H) > 1.2 * m8(H) * m128(W):
         return False
-    arm_bytes = 4 * (m8(W) + 136) * m128(H) * 4
+    # VMEM estimate matching the kernel's actual residency (round 5):
+    # only the two RIGHT arm planes are fully resident ((W_pad + P + 8)
+    # x H_pad each); the left planes stream in w_b-column blocks.  The
+    # old 4-full-plane formula rejected the 548-row first config-3 band
+    # at 30.9 MB while the kernel really holds ~16 MB — forcing the
+    # 75 ms untransposed path (scratch/prof_band_first.py).  512 is a
+    # conservative allowance for the d-shift pre-pad P (= D rounded to
+    # 8; 280 at config 3) since D is unknown at gate time.
+    arm_bytes = 2 * (m8(W) + 512 + 8) * m128(H) * 4
     return arm_bytes < 30_000_000
 
 
@@ -707,7 +724,7 @@ def histogram_vote_pallas(disp_img, arms_l, d_max: int, quantize: bool = True,
     lands there (CLAMP_TO_EDGE over-counting needs a window extending
     past the border, which the halo prevents)."""
     from ..ops.vote import vote_indices
-    from ..ops.common import unorm8
+    from ..ops.common import disparity_to_image
 
     H, W = disp_img.shape
     if -(-W // 128) * 128 > _CHUNK_MAX:
@@ -724,7 +741,7 @@ def histogram_vote_pallas(disp_img, arms_l, d_max: int, quantize: bool = True,
 def _histogram_vote_impl(disp_img, arms_l, *, d_max: int, quantize: bool,
                          arm_len: int, interpret: bool):
     from ..ops.vote import vote_indices
-    from ..ops.common import unorm8
+    from ..ops.common import disparity_to_image
 
     H, W = disp_img.shape
     L = arm_len
@@ -807,8 +824,7 @@ def _histogram_vote_impl(disp_img, arms_l, *, d_max: int, quantize: bool,
     )(rc_p, rc_p, rc_p, vm, vp)[:H, :W]
 
     mode = jnp.mod(combined, D_pad)
-    result = mode / d_max
-    return unorm8(result) if quantize else result
+    return disparity_to_image(mode, d_max, quantize)
 
 
 def _vote_h_interpret(idx_p, hm, hp, L, W, D_pad):

@@ -273,9 +273,9 @@ class ASWResult(NamedTuple):
 
 
 def _to_image(d, cfg: StereoConfig):
-    """Store a [0, d_max] disparity as a [0,1] image value (UNORM8 grid)."""
-    img = d / cfg.d_max
-    return ops.unorm8(img) if cfg.quantize_maps else img
+    """Store an integer-valued [0, d_max] disparity as a [0,1] image value
+    (UNORM8 grid) — division-free golden semantics (ops.common)."""
+    return ops.disparity_to_image(d, cfg.d_max, cfg.quantize_maps)
 
 
 def asw_pipeline_impl(left: jax.Array, right: jax.Array,
@@ -349,8 +349,7 @@ def asw_postaggregate_impl(aggr: jax.Array, left: jax.Array,
     # Consistency reads the images back *d_max (consist.cl:24-25).
     cons = ops.consistency(wta_left_img * cfg.d_max, wta_right_img * cfg.d_max,
                            res.conf_ref, res.conf_target)
-    red_pre = ops.red_diagnostic(wta_left_img * cfg.d_max, cons.consistent,
-                                 cfg.d_max)
+    red_pre = ops.red_diagnostic(wta_left_img, cons.consistent)
 
     def body(state, _):
         filled_q, right_q, conf_ref, conf_tar = state
@@ -365,10 +364,11 @@ def asw_postaggregate_impl(aggr: jax.Array, left: jax.Array,
             new_conf_ref, new_conf_tar = r.conf_target, conf_tar
         else:
             new_conf_ref, new_conf_tar = r.conf_ref, r.conf_target
-        left_q = _to_image(r.disp_ref, cfg) * cfg.d_max
+        left_img = _to_image(r.disp_ref, cfg)
+        left_q = left_img * cfg.d_max
         right_q_new = _to_image(r.disp_target, cfg) * cfg.d_max
         c = ops.consistency(left_q, right_q_new, new_conf_ref, new_conf_tar)
-        red = ops.red_diagnostic(left_q, c.consistent, cfg.d_max)
+        red = ops.red_diagnostic(left_img, c.consistent)
         return (c.filled, right_q_new, c.conf_ref, c.conf_target), red
 
     init = (cons.filled, wta_right_img * cfg.d_max, cons.conf_ref,
@@ -377,7 +377,8 @@ def asw_postaggregate_impl(aggr: jax.Array, left: jax.Array,
                                              length=cfg.k_iters)
     red_post = reds[-1] if cfg.k_iters > 0 else red_pre
 
-    filled_img = filled_q / cfg.d_max
+    filled_img = (ops.image_from_q(filled_q, cfg.d_max)
+                  if cfg.quantize_maps else ops.to_unit(filled_q, cfg.d_max))
     disparity = ops.median3x3(filled_img)
     return ASWResult(
         disparity=disparity,
@@ -471,8 +472,7 @@ def asw_pipeline_debug_impl(left, right, cfg: StereoConfig) -> ASWDebug:
     cons = ops.consistency(wta_left_img * cfg.d_max,
                            wta_right_img * cfg.d_max,
                            res.conf_ref, res.conf_target)
-    red_pre = ops.red_diagnostic(wta_left_img * cfg.d_max, cons.consistent,
-                                 cfg.d_max)
+    red_pre = ops.red_diagnostic(wta_left_img, cons.consistent)
 
     rv_l, rh_l = ops.refinement_weights(left, R, cfg.ref_gamma_c,
                                         cfg.ref_gamma_p)
@@ -496,8 +496,7 @@ def asw_pipeline_debug_impl(left, right, cfg: StereoConfig) -> ASWDebug:
         right_img = _to_image(r.disp_target, cfg)
         c = ops.consistency(left_img * cfg.d_max, right_img * cfg.d_max,
                             new_conf_ref, new_conf_tar)
-        red = ops.red_diagnostic(left_img * cfg.d_max, c.consistent,
-                                 cfg.d_max)
+        red = ops.red_diagnostic(left_img, c.consistent)
         new_state = (c.filled, right_img * cfg.d_max, c.conf_ref,
                      c.conf_target)
         return new_state, (left_img, right_img, red)
@@ -507,7 +506,8 @@ def asw_pipeline_debug_impl(left, right, cfg: StereoConfig) -> ASWDebug:
     (filled_q, _, _, _), (ref_l, ref_r, reds) = jax.lax.scan(
         kbody, init, None, length=cfg.k_iters)
 
-    filled_img = filled_q / cfg.d_max
+    filled_img = (ops.image_from_q(filled_q, cfg.d_max)
+                  if cfg.quantize_maps else ops.to_unit(filled_q, cfg.d_max))
     disparity = ops.median3x3(filled_img)
     result = ASWResult(
         disparity=disparity, filled=filled_img, consistency_pre=red_pre,

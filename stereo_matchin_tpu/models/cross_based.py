@@ -46,9 +46,7 @@ def cross_pipeline_impl(left: jax.Array, right: jax.Array,
     aggr = ops.cross_aggregate(cost, arms_l, arms_r, arm_len=cfg.arm_len,
                                impl=cfg.oii_impl)
     d0 = ops.wta_argmin(aggr)                                       # (H, W)
-    initial = d0 / cfg.d_max
-    if cfg.quantize_maps:
-        initial = ops.unorm8(initial)                               # UNORM8 image round-trip
+    initial = ops.disparity_to_image(d0, cfg.d_max, cfg.quantize_maps)  # UNORM8 image round-trip
     voted = ops.histogram_vote(initial, arms_l, cfg.d_max,
                                quantize=cfg.quantize_maps,
                                arm_len=cfg.arm_len, impl=cfg.oii_impl)
@@ -94,8 +92,7 @@ def _aggr_stage(cost, arms_l, arms_r, arm_len, impl):
 
 @partial(jax.jit, static_argnums=(1, 2))
 def _init_stage(aggr, d_max, quantize):
-    initial = ops.wta_argmin(aggr) / d_max
-    return ops.unorm8(initial) if quantize else initial
+    return ops.disparity_to_image(ops.wta_argmin(aggr), d_max, quantize)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))

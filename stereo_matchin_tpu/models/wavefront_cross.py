@@ -238,9 +238,8 @@ def _cross_band_impl(l, r, strips, cfg: StereoConfig, geom: _GeomC,
         tin = jnp.pad(temp, [(0, 0), (L, 0), (0, 0)]) if geom.first else temp
         aggr = _oii_vtaps_tiled(tin, vm, vp, L, L, jnp.int32(i_lo), H)
 
-    initial_fresh = ops.wta_argmin(aggr).astype(jnp.float32) / cfg.d_max
-    if cfg.quantize_maps:
-        initial_fresh = ops.unorm8(initial_fresh)
+    initial_fresh = ops.disparity_to_image(ops.wta_argmin(aggr),
+                                           cfg.d_max, cfg.quantize_maps)
     initial_fresh = _fix_bottom(initial_fresh, H - i_lo)
 
     # initial rows [v_lo - L, i_hi).

@@ -6,12 +6,17 @@ Pallas kernels in `stereo_matchin_tpu.kernels` are tested against.
 """
 
 from .common import (
+    disparity_to_image,
+    image_from_q,
     in_bounds_mask,
     quantize_disparity,
     shift2d,
     shift_axis,
     stack_shift_x,
+    to_unit,
     unorm8,
+    unorm8_code,
+    unorm8_level,
 )
 from .cost import sad_cost_volume, sad_cost_volume_t
 from .median import median3x3, median_dispatch_truncate
@@ -75,9 +80,14 @@ __all__ = [
     "shift2d",
     "shift_axis",
     "stack_shift_x",
+    "disparity_to_image",
+    "image_from_q",
     "support_weights",
+    "to_unit",
     "two_min_scan",
     "unorm8",
+    "unorm8_code",
+    "unorm8_level",
     "vote_indices",
     "wta",
     "wta_argmin",

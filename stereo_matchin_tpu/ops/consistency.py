@@ -36,10 +36,16 @@ def consistency(d_ref, d_target, conf_ref, conf_target,
     return ConsistencyResult(filled, new_conf_ref, new_conf_target, consistent)
 
 
-def red_diagnostic(d_ref, consistent, d_max: int):
-    """(H, W, 3) image: grey d/d_max where consistent, red where not."""
-    grey = d_ref / d_max
-    r = jnp.where(consistent, grey, 1.0)
-    g = jnp.where(consistent, grey, 0.0)
-    b = jnp.where(consistent, grey, 0.0)
+def red_diagnostic(d_img, consistent):
+    """(H, W, 3) image: the stored [0,1] disparity value where consistent,
+    red where not (consist.cl:567-569,577).
+
+    Round 5: takes the IMAGE value directly instead of the [0, d_max]
+    working value — the reference kernel writes back the same normalized
+    value it read, and every caller already has it, so the runtime
+    d/d_max rescale this used to do (one of the 15 compiler-unstable
+    division sites behind MULTICHIP_r04) disappears entirely."""
+    r = jnp.where(consistent, d_img, 1.0)
+    g = jnp.where(consistent, d_img, 0.0)
+    b = jnp.where(consistent, d_img, 0.0)
     return jnp.stack([r, g, b], axis=-1)

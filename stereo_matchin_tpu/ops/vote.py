@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import unorm8
+from .common import disparity_to_image
 
 
 def vote_indices(disp_img, d_max: int):
@@ -132,5 +132,4 @@ def histogram_vote(disp_img, arms_l, d_max: int, quantize: bool = True,
 
     # Mode with ties to the highest disparity (disparity.cl:39-42 select pair).
     mode = (num_disp - 1) - jnp.argmax(tab[::-1], axis=0).astype(jnp.int32)
-    result = mode.astype(jnp.float32) / d_max
-    return unorm8(result) if quantize else result
+    return disparity_to_image(mode, d_max, quantize)

@@ -49,8 +49,7 @@ class ShardedASWResult(NamedTuple):
 
 
 def _to_image(d, cfg: StereoConfig):
-    img = d / cfg.d_max
-    return ops.unorm8(img) if cfg.quantize_maps else img
+    return ops.disparity_to_image(d, cfg.d_max, cfg.quantize_maps)
 
 
 def _local_halo(x, halo: int, axis_name: str, axis: int = 0):
@@ -188,8 +187,7 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
     wta_right_img = _to_image(res.disp_target, cfg)
     cons = ops.consistency(wta_left_img * cfg.d_max, wta_right_img * cfg.d_max,
                            res.conf_ref, res.conf_target)
-    red_pre = ops.red_diagnostic(wta_left_img * cfg.d_max, cons.consistent,
-                                 cfg.d_max)
+    red_pre = ops.red_diagnostic(wta_left_img, cons.consistent)
 
     rsw = partial(ops_tiled.support_weights_tiled, radius=R,
                   gamma_c=cfg.ref_gamma_c, gamma_p=cfg.ref_gamma_p)
@@ -222,10 +220,11 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
             new_conf_ref, new_conf_tar = r.conf_target, conf_tar
         else:
             new_conf_ref, new_conf_tar = r.conf_ref, r.conf_target
-        left_q = _to_image(r.disp_ref, cfg) * cfg.d_max
+        left_img = _to_image(r.disp_ref, cfg)
+        left_q = left_img * cfg.d_max
         right_q_new = _to_image(r.disp_target, cfg) * cfg.d_max
         c = ops.consistency(left_q, right_q_new, new_conf_ref, new_conf_tar)
-        red = ops.red_diagnostic(left_q, c.consistent, cfg.d_max)
+        red = ops.red_diagnostic(left_img, c.consistent)
         return (c.filled, right_q_new, c.conf_ref, c.conf_target), red
 
     init = (cons.filled, wta_right_img * cfg.d_max, cons.conf_ref,
@@ -234,7 +233,8 @@ def _asw_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
                                          length=cfg.k_iters)
     red_post = reds[-1] if cfg.k_iters > 0 else red_pre
 
-    filled_img = filled_q / cfg.d_max
+    filled_img = (ops.image_from_q(filled_q, cfg.d_max)
+                  if cfg.quantize_maps else ops.to_unit(filled_q, cfg.d_max))
     fi_pad, _ = exchange(filled_img, 1, AXIS_ROW)
     disparity = ops_tiled.median3x3_tiled(fi_pad)
     return ShardedASWResult(

@@ -237,9 +237,7 @@ def _cross_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
     aggr = jnp.where(pad_mask, cfg.big, aggr)
 
     d_win = _argmin_disp_sharded(aggr, d0, AXIS_DISP)
-    initial = d_win.astype(jnp.float32) / cfg.d_max
-    if cfg.quantize_maps:
-        initial = ops.unorm8(initial)
+    initial = ops.disparity_to_image(d_win, cfg.d_max, cfg.quantize_maps)
 
     # Vote: indicator over padded rows (halo of the initial map), per-row
     # horizontal counts with each padded row's own h arms, then vertical
@@ -268,9 +266,7 @@ def _cross_tile(left, right, cfg: StereoConfig, d_local: int, d_pad: int,
                                   arms_l[3][None], L, halo)
         mode = (cfg.num_disp - 1) - jnp.argmax(tab[::-1], axis=0).astype(
             jnp.int32)
-        voted = mode.astype(jnp.float32) / cfg.d_max
-        if cfg.quantize_maps:
-            voted = ops.unorm8(voted)
+        voted = ops.disparity_to_image(mode, cfg.d_max, cfg.quantize_maps)
 
     voted_pad, _ = exchange_halo(voted, 1, AXIS_ROW)
     from .ops_tiled import median3x3_tiled
