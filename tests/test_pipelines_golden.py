@@ -102,11 +102,21 @@ def test_cross_other_pairs(pair):
     written (zero on the golden device) — a no-op for teddy/cones/
     laundry (heights divide by 3) and the round-3 'art residual' in
     full: art initial went 98.91% -> 99.90% exact with the quirk
-    modeled.  The remaining art diffs are MEASURED float-order cost
-    ties (scratch/adjudicate_art.py: p50 relative margin 0, 100%
-    <= 1e-4; PARITY.md quality section).  Measured round 4 (CPU,
-    prefix impl): initial exact 99.68-99.76 / bad2 <= 0.12; final
-    exact 99.63-99.81 / bad2 <= 0.30 across the four pairs."""
+    modeled.  Measured round 4 (CPU, prefix impl): initial exact
+    99.68-99.76 / bad2 <= 0.12; final exact 99.63-99.81 / bad2 <= 0.30
+    across the four pairs.
+
+    Round 5: EVERY residual below these thresholds is measured
+    irreducible, on all five pairs (scratch/adjudicate_cross.py;
+    numbers pinned in PARITY.md quality section):
+      * initial diffs (taps impl 0.08-0.21%/pair) are float-order
+        argmin ties — relative cost margin p50 = 0 (bit-equal), 100%
+        <= 1.3e-4, and our winner's cost <= the golden winner's on
+        100% of them;
+      * final diffs are 100% PROPAGATION of those initial ties: our
+        vote+median tail applied to the GOLDEN initial image
+        reproduces the golden final BIT-EXACTLY (0 diffs on all five
+        pairs) — the tail itself has no divergence at all."""
     left, right = load_pair(pair)
     cfg = REFERENCE_CONFIG.replace(median_dispatch_quirk=True)
     res = cross_based.cross_pipeline(jnp.asarray(left), jnp.asarray(right),
