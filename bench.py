@@ -14,7 +14,9 @@ per-repetition slope estimates, as % of the reported value.
 The default full suite then adds: both methods on all five pairs, the
 batched video mode, BASELINE configs 1-2 at their real geometry, the
 config-3 (2880x1988, 280 disp) band-tiled throughput, and a CPU-mesh
-weak-scaling report (subprocess, 8 virtual devices).  Configs 1-3 have no
+scaling report (subprocess, 8 virtual devices: halo-comm ablation,
+collective footprints, ref-geometry strong-scaling anchor — see
+bench_scaling_subprocess).  Configs 1-3 have no
 per-workload reference measurement, so their vs_baseline uses the ASW
 anchor throughput (the 860M's Mdisp/s is nearly workload-independent:
 16.8-17.5 across the five pairs).
@@ -54,12 +56,59 @@ def anchor_mdisp(method: str, pair: str) -> float:
     return H * W * NUM_DISP_REF / ANCHOR_MS[(method, pair)] / 1e3
 
 
-def emit(metric: str, value: float, vs_baseline: float,
+# Every emitted (or failed) metric is also recorded here and re-printed as
+# ONE compact `summary_all` JSON line right before the final headline line:
+# the driver artifact keeps only the last ~2000 chars of output, which in
+# round 4 truncated everything above `config3_cross_band` (VERDICT round-4
+# item 2) — the summary makes the tail self-contained.
+SUMMARY: dict = {}
+
+# Dropped affixes for the summary's compact keys (full names stay on the
+# per-metric lines above it).
+_SHORTEN = (
+    ("_throughput", ""), ("_2880x1988_280d", ""), ("_ps_per_tapelem", "_ps"),
+    ("config0_tsukuba_cpu_16d_9x9", "config0_cpu"),
+    ("config1_teddy_64d_35w", "config1_teddy"),
+    ("config2_art_230d", "config2_art"),
+    ("config4_kitti_stream_b4", "config4_b4"),
+    ("config4_kitti_latency", "config4_lat"),
+    ("weak_scaling_8dev_", "ws8_"), ("strong_scaling_", "ss_"),
+    ("_mesh_speedup", ""), ("_ref_geom_efficiency", "_eff"),
+    ("scaling_row8_", "row8_"), ("scaling_disp8_", "disp8_"),
+    ("_collective_mb_per_frame", "_mb"), ("_halo_comm_pct", "_comm_pct"),
+)
+
+
+def _short(metric: str) -> str:
+    for a, b in _SHORTEN:
+        metric = metric.replace(a, b)
+    return metric
+
+
+def emit(metric: str, value: float, vs_baseline: float | None,
          unit: str = "Mdisp/s", **extra) -> None:
-    rec = {"metric": metric, "value": round(value, 2), "unit": unit,
-           "vs_baseline": round(vs_baseline, 3)}
+    rec = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if vs_baseline is not None:  # None: no meaningful reference ratio
+        rec["vs_baseline"] = round(vs_baseline, 3)
     rec.update(extra)
+    SUMMARY[_short(metric)] = rec["value"]
     print(json.dumps(rec), flush=True)
+
+
+def emit_error(metric: str, err: str, unit: str = "Mdisp/s") -> None:
+    SUMMARY[_short(metric)] = None
+    print(json.dumps({"metric": metric, "value": None, "unit": unit,
+                      "error": err[:200]}), flush=True)
+
+
+def emit_summary() -> None:
+    """One compact line carrying every metric of the run (value only;
+    vs_baseline ratios are value/anchor with the anchors fixed in this
+    file + BASELINE.md).  Printed second-to-last so the driver's
+    2000-char tail always contains the full picture; the headline line
+    still comes last (the driver parses the final JSON line)."""
+    print(json.dumps({"metric": "summary_all", "values": SUMMARY},
+                     separators=(",", ":")), flush=True)
 
 
 def _safe_slope(t1: float, t2: float, n1: int, n2: int,
@@ -433,14 +482,66 @@ def _timed(thunk) -> float:
 AGGR_FLOOR_PS = 1.56
 
 
+def _trace_kernel_ps(fn, cost, denom, reps: int = 6):
+    """Profiler-traced device time of the Pallas pass kernel op alone
+    (event name `asw_*`), in ps per tap-element — the number PARITY's
+    roofline table quotes.  Returns None if tracing or parsing fails
+    (the call-level metric still stands on its own)."""
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+
+    try:
+        logdir = tempfile.mkdtemp(prefix="bench_roofline_")
+        jax.profiler.start_trace(logdir)
+        o = None
+        for _ in range(reps):
+            o = fn(cost)
+        _sync(o)
+        jax.profiler.stop_trace()
+        kern_us = 0.0
+        for path in glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True):
+            with gzip.open(path, "rt") as fh:
+                data = json.load(fh)
+            pids = {}
+            for e in data.get("traceEvents", []):
+                if e.get("ph") == "M" and e.get("name") == "process_name":
+                    pids[e["pid"]] = e["args"].get("name", "")
+            tpu_pids = {p for p, n in pids.items() if "TPU" in n.upper()}
+            for e in data.get("traceEvents", []):
+                if (e.get("ph") == "X" and e.get("pid") in tpu_pids
+                        and e.get("name", "").startswith("asw_")):
+                    kern_us += e.get("dur", 0.0)
+        if kern_us <= 0:
+            return None
+        return round(kern_us / reps / denom * 1e6, 3)
+    except Exception as e:  # noqa: BLE001 — diagnostic field only
+        print(f"bench_roofline: kernel trace failed: {e!r}"[:200],
+              file=sys.stderr, flush=True)
+        return None
+
+
 def bench_roofline(runs: int = 6):
     """Kernel-efficiency lines (VERDICT r3 item 5): isolated dres v/h
-    pass kernels, slope-timed (hoisted prep + den, so the measurement is
-    the kernel dispatch alone), reported as ps per tap-element together
-    with the ratio to AGGR_FLOOR_PS.  Two geometries: the config-3
-    interior-band chunk (D=72, W=2880, 512 lanes — the full-extent
-    wavefront schedule) and teddy (D=61 unchunked, 450x375 transposed).
-    Returns {metric: (ps_per_tapelem, floor_ratio)}."""
+    pass kernels, slope-timed (hoisted prep + den), reported as ps per
+    tap-element together with the ratio to AGGR_FLOOR_PS.  Two
+    geometries: the config-3 interior-band chunk (D=72, W=2880, 512
+    lanes — the full-extent wavefront schedule) and teddy (D=61
+    unchunked, 450x375 transposed).
+
+    METHODOLOGY (VERDICT r4 item 3): the metric VALUE is the whole
+    jitted CALL — Pallas kernel + its per-call XLA glue (operand block
+    pad, output copy/crop) + dispatch — slope-timed.  The `kernel_ps`
+    field is the profiler-traced device time of the Pallas kernel op
+    alone, the number PARITY's roofline table quotes against the
+    streamed-FMA floor.  Round-5 reconciliation of BENCH_r04's 4.26 vs
+    PARITY's 3.12 at teddy (scratch/prof_roofline_teddy.py, on chip):
+    kernel-op 3.11 ps (no regression vs the round-3 claim), glue
+    (pad_maximum_fusion + copy + slices) ~0.9 ps, dispatch ~0.5 ps —
+    the call-level metric simply measures more than the kernel.
+    Returns {metric: (call_ps_per_tapelem, floor_ratio, kernel_ps)}."""
     import jax
     import jax.numpy as jnp
 
@@ -499,9 +600,11 @@ def bench_roofline(runs: int = 6):
                 t1 = min(block(n1) for _ in range(2))
                 t2 = min(block(n2) for _ in range(2))
                 sec = _safe_slope(t1, t2, n1, n2, f"roofline_{name}_{tag}")
-                ps = sec * 1e12 / (D * W * H * T)
+                denom = D * W * H * T
+                ps = sec * 1e12 / denom
                 out[f"aggr_{name}_{tag}_ps_per_tapelem"] = (
-                    round(ps, 3), round(ps / AGGR_FLOOR_PS, 3))
+                    round(ps, 3), round(ps / AGGR_FLOOR_PS, 3),
+                    _trace_kernel_ps(fn, cost, denom))
             except Exception as e:  # noqa: BLE001 — report what we can
                 print(f"bench_roofline: {name}_{tag} failed: "
                       f"{e!r}"[:200], file=sys.stderr, flush=True)
@@ -552,17 +655,30 @@ print(json.dumps({"mdisp_s": H * W * cfg.num_disp / dt / 1e6}))
 
 
 def bench_scaling_subprocess():
-    """Weak-scaling on the 8-virtual-device CPU mesh, in a subprocess (the
-    parent owns the TPU backend; backends are per-process).
+    """Sharded-pipeline scaling evidence on the 8-virtual-device CPU
+    mesh, in a subprocess (the parent owns the TPU backend; backends are
+    per-process).
 
-    Emits three axis lines (batch / row / disp), plus a row-axis
-    communication split: the same row-sharded pipeline rebuilt with
-    halo_mode="local" (edge pads instead of ppermute — same per-shard
-    compute, zero communication) isolates how much of the row axis's
-    efficiency loss is the halo exchange vs the structural 2R-row halo
-    compute and virtual-device contention."""
+    Round 5 (VERDICT r4 item 6): the four raw weak-scaling SPEEDUP lines
+    are gone — 8 virtual devices time-share the same physical cores, so
+    those numbers swung >20% between identical reruns and carried
+    `stable: false` as their main content.  What this host CAN measure
+    reproducibly, and what is reported instead:
+
+      * the row-axis halo-communication share, by REBUILD: the same
+        row-8 program with halo_mode="local" (edge pads, zero
+        communication, identical per-shard compute) vs the real
+        ppermute exchange — a ratio of two runs under the same
+        contention;
+      * the compiled programs' collective footprint: op counts and
+        bytes parsed from the optimized sharded HLO (deterministic;
+        collectives inside lax.scan bodies are counted once per
+        program, stated on the metric);
+      * the strong-scaling anchor at the reference geometry (2-way row
+        shard of the full tsukuba config vs unsharded) — historically
+        stable (0.77 in r03 and r04)."""
     code = r"""
-import os, json, time
+import os, json, re, time
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
     " --xla_force_host_platform_device_count=8"
@@ -574,54 +690,58 @@ from stereo_matchin_tpu.parallel import build_mesh, make_asw_sharded, scaling_re
 cfg = StereoConfig(d_max=15, radius=4, arm_len=6, r_iters=2, k_iters=2)
 rng = np.random.default_rng(0)
 H, W = 96, 128
-def run(batch, mesh_cfg, height=None, config=None, halo_mode="exchange", runs=3,
-        width=None):
+def build(batch, mesh_cfg, height=None, config=None, halo_mode="exchange",
+          width=None):
     mesh = build_mesh(mesh_cfg)
     f = make_asw_sharded(config or cfg, mesh, halo_mode=halo_mode)
     h, w = height or H, width or W
     left = jnp.asarray(rng.random((batch, h, w, 3), dtype=np.float32))
     right = jnp.asarray(rng.random((batch, h, w, 3), dtype=np.float32))
+    return f, left, right, mesh
+def run(batch, mesh_cfg, height=None, config=None, halo_mode="exchange",
+        runs=3, width=None):
+    f, left, right, mesh = build(batch, mesh_cfg, height, config,
+                                 halo_mode, width)
     return scaling_report(f, left, right, mesh, runs=runs)
-r1 = run(1, MeshConfig(batch=1, row=1, disp=1))
-r8 = run(8, MeshConfig(batch=8, row=1, disp=1))
-eff = (r8["mpix_s"] / 8.0) / r1["mpix_s"]
-# Row-sharded weak scaling: 8x the rows over 8 devices with ppermute
-# halo exchange (the spatial-tiling axis), vs the same band on 1 device.
-s1 = run(1, MeshConfig(batch=1, row=1, disp=1), height=H)
+DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+               "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1, "f64": 8}
+def comm_stats(f, left, right):
+    # Deterministic collective footprint of the compiled program: sum of
+    # result bytes of every (sync-form) collective in the optimized HLO.
+    # Collectives inside lax.scan bodies appear (and are counted) once.
+    txt = f.lower(left, right).compile().as_text()
+    total, counts = 0, {}
+    pat = re.compile(r"= *(\w+)\[([\d,]*)\][^\n]*? "
+                     r"(collective-permute|all-gather|all-reduce|"
+                     r"reduce-scatter)\(")
+    for mm in pat.finditer(txt):
+        dt, shape, op = mm.group(1), mm.group(2), mm.group(3)
+        n = 1
+        for s in shape.split(","):
+            if s:
+                n *= int(s)
+        total += n * DTYPE_BYTES.get(dt, 4)
+        counts[op] = counts.get(op, 0) + 1
+    return total, counts
+# Row-axis halo-communication share by REBUILD: real ppermute exchange
+# vs halo_mode="local" (edge pads; wrong seams, identical per-shard
+# compute, zero communication) — a ratio of two runs under the same
+# contention, the stable dynamic measurement this host can make.
 s8 = run(1, MeshConfig(batch=1, row=8, disp=1), height=8 * H)
-eff_row = (s8["mpix_s"] / 8.0) / s1["mpix_s"]
-# Same layout, communication removed (edge-pad halos; wrong seams, same
-# compute): the gap s8_local vs s8 is the ppermute + sync share.
 s8l = run(1, MeshConfig(batch=1, row=8, disp=1), height=8 * H,
           halo_mode="local")
 comm_pct = max(0.0, 100.0 * (1.0 - s8l["ms"] / s8["ms"])) if s8["ms"] else 0.0
-# Disp-axis weak scaling: 8x the disparity planes over 8 devices
-# (tensor-parallel axis; all_gather two-min combines), vs 1/8 the planes
-# on one device.  Work scales with num_disp, so the speedup compares
-# disparity throughput, not pixel throughput.
-cfg_d1 = cfg
-cfg_d8 = cfg.replace(d_max=8 * (cfg.d_max + 1) - 1)
-d1 = run(1, MeshConfig(batch=1, row=1, disp=1), config=cfg_d1)
-d8 = run(1, MeshConfig(batch=1, row=1, disp=8), config=cfg_d8)
-eff_disp = (d8["mpix_s"] * cfg_d8.num_disp / 8.0) / (d1["mpix_s"] * cfg_d1.num_disp)
-# Disp axis at REAL disparity scale (round-3 VERDICT item 6): config-2's
-# ~29 planes per shard (d_max=231 over 8 shards vs 29 planes unsharded)
-# on a small spatial tile — the toy line above (2 planes/shard) floors
-# on per-shard fixed costs the real workloads amortise.
-cfg_dr1 = cfg.replace(d_max=28)
-cfg_dr8 = cfg.replace(d_max=231)
-dr1 = run(1, MeshConfig(batch=1, row=1, disp=1), config=cfg_dr1,
-          height=64, width=96)
-dr8 = run(1, MeshConfig(batch=1, row=1, disp=8), config=cfg_dr8,
-          height=64, width=96)
-eff_disp_real = ((dr8["mpix_s"] * cfg_dr8.num_disp / 8.0)
-                 / (dr1["mpix_s"] * cfg_dr1.num_disp))
-out = {"eff": eff, "mpix_1dev": r1["mpix_s"], "mpix_8dev": r8["mpix_s"],
-       "eff_row": eff_row, "mpix_row8": s8["mpix_s"],
-       "row_comm_pct": comm_pct, "eff_disp": eff_disp,
-       "eff_disp_real": eff_disp_real,
-       "stable": all(x.get("stable", True) for x in
-                     (r1, r8, s1, s8, s8l, d1, d8, dr1, dr8))}
+# Static collective footprints: the row-8 program above, and the disp-8
+# program at config-2's real per-shard plane count (d_max=231 over 8).
+fr, lr, rr, _ = build(1, MeshConfig(batch=1, row=8, disp=1), height=8 * H)
+row_bytes, row_ops = comm_stats(fr, lr, rr)
+fd, ld, rd, _ = build(1, MeshConfig(batch=1, row=1, disp=8),
+                      config=cfg.replace(d_max=231), height=64, width=96)
+disp_bytes, disp_ops = comm_stats(fd, ld, rd)
+out = {"row_comm_pct": comm_pct,
+       "halo_stable": bool(s8.get("stable")) and bool(s8l.get("stable")),
+       "row8_comm_bytes": row_bytes, "row8_collectives": row_ops,
+       "disp8_comm_bytes": disp_bytes, "disp8_collectives": disp_ops}
 # Reference-geometry anchor for the row axis (VERDICT r2 item 6): the
 # tsukuba workload at the full reference config, 2-way row-sharded vs
 # unsharded — the scaling numbers above use toy geometry, this one
@@ -745,9 +865,7 @@ def main() -> int:
         emit("config0_tsukuba_cpu_16d_9x9_throughput", b,
              b / ANCHOR_CPU_MDISP)
     except Exception as e:  # noqa: BLE001 — bench must report what it can
-        print(json.dumps({"metric": "config0_tsukuba_cpu_16d_9x9_throughput",
-                          "value": None, "unit": "Mdisp/s",
-                          "error": repr(e)[:200]}), flush=True)
+        emit_error("config0_tsukuba_cpu_16d_9x9_throughput", repr(e))
     # BASELINE config 1: 64 disparities, full 35x35 window (radius 17).
     cfg1 = cfg.replace(d_max=63, radius=17)
     b, _, _ = bench_pair("asw", "teddy", cfg1, max(3, args.runs // 2))
@@ -763,18 +881,13 @@ def main() -> int:
         b = bench_config3_band()
         emit("config3_band_2880x1988_280d_throughput", b, b / 17.5)
     except Exception as e:  # noqa: BLE001 — bench must report what it can
-        print(json.dumps({"metric": "config3_band_2880x1988_280d_throughput",
-                          "value": None, "unit": "Mdisp/s",
-                          "error": repr(e)[:200]}), flush=True)
+        emit_error("config3_band_2880x1988_280d_throughput", repr(e))
     try:
         b = bench_config3_cross()
         # 91.5 Mdisp/s = the GTX 860M's cross-method rate (BASELINE.md).
         emit("config3_cross_band_2880x1988_280d_throughput", b, b / 91.5)
     except Exception as e:  # noqa: BLE001 — bench must report what it can
-        print(json.dumps(
-            {"metric": "config3_cross_band_2880x1988_280d_throughput",
-             "value": None, "unit": "Mdisp/s", "error": repr(e)[:200]}),
-            flush=True)
+        emit_error("config3_cross_band_2880x1988_280d_throughput", repr(e))
     # Whole-frame config-3 wall time (first/last-band overhead included).
     for method, anchor in (("asw", 17.5), ("cross", 91.5)):
         name = f"config3_frame_{method}_2880x1988_280d_throughput"
@@ -782,22 +895,21 @@ def main() -> int:
             b = bench_config3_frame(method)
             emit(name, b, b / anchor)
         except Exception as e:  # noqa: BLE001 — bench must report what it can
-            print(json.dumps({"metric": name, "value": None,
-                              "unit": "Mdisp/s", "error": repr(e)[:200]}),
-                  flush=True)
+            emit_error(name, repr(e))
 
     # Kernel-efficiency (roofline) lines: ps/tap-element of the isolated
     # dres pass kernels vs the measured streamed-FMA floor, so a kernel
     # schedule regression is visible in the driver artifact instead of as
-    # a diffuse throughput drop (round-3 VERDICT item 5).
+    # a diffuse throughput drop (round-3 VERDICT item 5).  value = whole
+    # jitted call; kernel_ps = profiler-traced Pallas op alone (the
+    # PARITY roofline-table number) — see bench_roofline's docstring.
     try:
-        for name, (ps, ratio) in bench_roofline().items():
+        for name, (ps, ratio, kps) in bench_roofline().items():
             emit(name, ps, ratio, unit="ps",
-                 floor_ps=AGGR_FLOOR_PS)
+                 floor_ps=AGGR_FLOOR_PS, kernel_ps=kps,
+                 scope="jitted call; kernel_ps=Pallas op only")
     except Exception as e:  # noqa: BLE001 — bench must report what it can
-        print(json.dumps({"metric": "aggr_roofline", "value": None,
-                          "unit": "ps", "error": repr(e)[:200]}),
-              flush=True)
+        emit_error("aggr_roofline", repr(e), unit="ps")
     # BASELINE config 4: batched video-rate stream at KITTI resolution
     # (fallback ladder inside — `mode` records which rung produced it).
     try:
@@ -808,9 +920,7 @@ def main() -> int:
         emit("config4_kitti_stream_b4_fps", fps, b / 17.5, unit="frames/s",
              mode=mode)
     except Exception as e:  # noqa: BLE001 — bench must report what it can
-        print(json.dumps({"metric": "config4_kitti_stream_b4_throughput",
-                          "value": None, "unit": "Mdisp/s",
-                          "error": repr(e)[:200]}), flush=True)
+        emit_error("config4_kitti_stream_b4_throughput", repr(e))
     # Config-4 single-frame latency (round-3 VERDICT item 9): block after
     # every frame — the stream's user-facing per-frame number.  The fps
     # anchor is the 860M's ASW per-frame rate at teddy-like area scaled to
@@ -824,9 +934,7 @@ def main() -> int:
         emit("config4_kitti_latency_fps", fps1, mdisp1 / 17.5,
              unit="frames/s")
     except Exception as e:  # noqa: BLE001 — bench must report what it can
-        print(json.dumps({"metric": "config4_kitti_latency_ms",
-                          "value": None, "unit": "ms",
-                          "error": repr(e)[:200]}), flush=True)
+        emit_error("config4_kitti_latency_ms", repr(e), unit="ms")
 
     try:
         rep = bench_scaling_subprocess()
@@ -836,43 +944,31 @@ def main() -> int:
     else:
         err = "subprocess failed (see stderr)" if rep is None else None
     if rep is None:
-        print(json.dumps({"metric": "weak_scaling_8dev_cpu_mesh_speedup",
-                          "value": None, "unit": "x", "error": err}),
-              flush=True)
+        emit_error("scaling_row8_halo_comm_pct", err or "", unit="%")
     if rep is not None:
-        # 8 VIRTUAL devices share the host's physical cores, so perfect
-        # weak scaling is unreachable by construction — report the raw
-        # 8-dev/1-dev speedup; vs_baseline normalises by the physical
-        # core count (the attainable ceiling), not by 8.
-        import os
-
-        speedup = rep["eff"] * 8.0
-        ceiling = min(8, os.cpu_count() or 8)
-        # Every scaling line carries the contention flag: the subprocess
-        # re-times each block until the two fastest agree within 10%
-        # (scaling_report); stability=false marks a line measured under
-        # host load (round-3 VERDICT item 6 — an r02->r03 swing came
-        # from a concurrent pytest run).
-        stab = {"stable": bool(rep.get("stable", True))}
-        emit("weak_scaling_8dev_cpu_mesh_speedup", speedup,
-             speedup / ceiling, unit="x", **stab)
-        if "eff_row" in rep:
-            row_speedup = rep["eff_row"] * 8.0
-            emit("weak_scaling_8dev_row_mesh_speedup", row_speedup,
-                 row_speedup / ceiling, unit="x",
-                 halo_comm_pct=round(rep.get("row_comm_pct", 0.0), 1),
-                 **stab)
-        if rep.get("eff_disp") is not None:
-            disp_speedup = rep["eff_disp"] * 8.0
-            emit("weak_scaling_8dev_disp_mesh_speedup", disp_speedup,
-                 disp_speedup / ceiling, unit="x", **stab)
-        if rep.get("eff_disp_real") is not None:
-            # Disp axis at config-2's per-shard plane count (29 planes
-            # per shard, d_max=231 over 8): the toy line above floors on
-            # per-shard fixed costs that real disparity counts amortise.
-            disp_real = rep["eff_disp_real"] * 8.0
-            emit("weak_scaling_8dev_disp_mesh_232d_speedup", disp_real,
-                 disp_real / ceiling, unit="x", **stab)
+        # Round 5 (VERDICT r4 item 6): the raw virtual-device weak-
+        # scaling speedups are gone — 8 virtual devices time-share the
+        # physical cores, so those lines swung >20% between identical
+        # reruns.  Reported instead: the halo-comm share measured by
+        # REBUILD (ratio of two runs under identical contention), the
+        # compiled programs' deterministic collective footprints, and
+        # the historically stable ref-geometry strong-scaling anchor.
+        emit("scaling_row8_halo_comm_pct",
+             rep.get("row_comm_pct", 0.0), None, unit="%",
+             stable=bool(rep.get("halo_stable")),
+             how="row-8 ppermute exchange vs halo_mode=local rebuild")
+        if rep.get("row8_comm_bytes") is not None:
+            emit("scaling_row8_collective_mb_per_frame",
+                 rep["row8_comm_bytes"] / 1e6, None, unit="MB",
+                 ops=rep.get("row8_collectives"),
+                 how="optimized-HLO result bytes; scan-body collectives "
+                     "counted once per program")
+        if rep.get("disp8_comm_bytes") is not None:
+            emit("scaling_disp8_collective_mb_per_frame",
+                 rep["disp8_comm_bytes"] / 1e6, None, unit="MB",
+                 ops=rep.get("disp8_collectives"),
+                 how="disp=8 mesh at config-2 planes (d_max=231); "
+                     "optimized-HLO result bytes")
         if rep.get("eff_row2_ref_geom") is not None:
             # Strong-scaling anchor at the REFERENCE geometry (tsukuba
             # 384x288, full config): 2-way row-sharded vs unsharded on
@@ -882,7 +978,9 @@ def main() -> int:
                  rep["eff_row2_ref_geom"],
                  rep["eff_row2_ref_geom"], unit="frac")
 
-    # Headline metric LAST — the driver records the final JSON line.
+    # Compact all-metrics summary, then the headline metric LAST — the
+    # driver records the final JSON line and keeps only a ~2000-char tail.
+    emit_summary()
     emit("asw_tsukuba_throughput", best_headline, vs_headline,
          spread_pct=round(100 * spread_headline, 1))
     return 0

@@ -94,7 +94,18 @@ def scaling_report(step_fn, left, right, mesh: Mesh, runs: int = 5,
     # blocks until the two fastest agree within 10%, up to 2x the
     # requested repeats; a line that cannot converge is marked unstable
     # so a swing under concurrent host load reads as noise, not as a
-    # scaling regression.
+    # scaling regression.  repeats=1 (round-5, advisor finding) is the
+    # explicit single-block fast path: one timed block, stability
+    # unassessed (stable=None) — callers asking for one block get one.
+    if repeats == 1:
+        t = block()
+        ms = t / runs * 1000.0
+        n_dev = mesh.devices.size
+        B, H, W = left.shape[0], left.shape[1], left.shape[2]
+        mpix_s = B * H * W / (ms / 1000.0) / 1e6
+        return {"ms": ms, "mpix_s": mpix_s,
+                "mpix_s_per_device": mpix_s / n_dev,
+                "devices": n_dev, "stable": None}
     times = [block() for _ in range(max(repeats, 2))]
     stable = False
     for _ in range(max(repeats, 2)):

@@ -108,3 +108,25 @@ def test_safe_slope_fallback(capsys):
     v = bench._safe_slope(2.0, 1.5, 2, 4, "unit")
     assert v == 1.5 / 4
     assert "slope fallback" in capsys.readouterr().err
+
+
+def test_emit_summary_compact(capsys):
+    """Round-5 (VERDICT r4 item 2): every emitted metric — including
+    failures — lands in the final compact summary_all line under short
+    keys, so the driver's 2000-char output tail is self-contained."""
+    import json
+
+    bench.SUMMARY.clear()
+    bench.emit("config3_frame_cross_2880x1988_280d_throughput", 2020.35,
+               22.08)
+    bench.emit("aggr_vpass_teddy_ps_per_tapelem", 4.26, 2.73, unit="ps")
+    bench.emit_error("weak_scaling_8dev_cpu_mesh_speedup", "boom", unit="x")
+    bench.emit_summary()
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert rec["metric"] == "summary_all"
+    assert rec["values"]["config3_frame_cross"] == 2020.35
+    assert rec["values"]["aggr_vpass_teddy_ps"] == 4.26
+    assert rec["values"]["ws8_cpu"] is None
+    assert len(out[-1]) < 1500
+    bench.SUMMARY.clear()
