@@ -94,7 +94,11 @@ def _sad_kernel(l_ref, e0_ref, e1_ref, e2_ref, out_ref, win_ref, *,
 def sad_volume_t_pallas(left_t, right_t, num_disp: int, scale: float = 1.0,
                         interpret: bool = False):
     """(W, H, 3) transposed pair -> (num_disp, W, H) SAD volume,
-    bit-identical to ops.sad_cost_volume_t."""
+    bit-identical to ops.sad_cost_volume_t AT scale=1.0 — the only scale
+    the cross pipelines use (test-pinned).  At scale != 1 XLA may
+    reassociate the scale-then-subtract order between the two
+    implementations (1-ulp class); assert/extend the test before relying
+    on bit-identity there (module docstring)."""
     W, H = left_t.shape[:2]
     D = num_disp
     H_pad, w_b, d_b, n_x, n_db, P = _geom(D, W, H)

@@ -254,12 +254,23 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+# Failure signatures of the one race the retry exists for: the
+# coordinator port comes from a bind-then-release probe, so a concurrent
+# process can steal it between the probe and jax.distributed's bind
+# (observed once as a suite-order-dependent flake).  Anything else —
+# in particular a shard-value AssertionError from a worker — is a real
+# bug and must surface on the FIRST attempt (round-5 advisor finding).
+_RETRYABLE = ("Failed to bind", "address already in use",
+              "Address already in use", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+              "failed to connect", "Connection refused",
+              "coordination service")
+
+
 def _run_two_workers(worker_src: str, ok_token: str, timeout: int = 240,
                      attempts: int = 2):
-    """Launch the 2-process rig; one retry on failure — the coordinator
-    port comes from a bind-then-release probe, so a concurrent process
-    can steal it between the probe and jax.distributed's bind (observed
-    once as a suite-order-dependent flake)."""
+    """Launch the 2-process rig; retry ONLY coordinator bind/connect-class
+    failures (signatures above), re-raising immediately on anything
+    else."""
     last = None
     for attempt in range(attempts):
         addr = f"127.0.0.1:{_free_port()}"
@@ -285,7 +296,12 @@ def _run_two_workers(worker_src: str, ok_token: str, timeout: int = 240,
         if all(ok for ok, _ in results):
             return
         last = "\n---\n".join(out[-3000:] for _, out in results)
-    raise AssertionError(f"2-process rig failed {attempts} attempts:\n{last}")
+        retryable = any(sig in out for _, out in results
+                        for sig in _RETRYABLE)
+        if not retryable:
+            break
+    raise AssertionError(f"2-process rig failed (attempt {attempt + 1} of "
+                         f"{attempts}):\n{last}")
 
 
 def test_initialize_two_process_mesh():

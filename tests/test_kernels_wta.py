@@ -148,3 +148,57 @@ def test_two_min_pallas_matches_scan():
         gap = np.abs(np.asarray(want[0]) - np.asarray(want[1]))
         rel = gap[flipped] / np.abs(np.asarray(want[0])[flipped])
         assert rel.max() < 3e-6, "winner flipped at a non-tie pixel"
+
+
+def test_tripled_contraction_dot_matches_summed_dots():
+    """Round-5 advisor finding: the exact-f32 one-hot gather relies on
+    the tripled-contraction dot accumulating the h0|h1|h2 blocks in
+    sequential contiguous order (kernels/wta_gather.py comment) — which
+    is toolchain behavior, not a spec.  This pins it locally: on inputs
+    whose splits genuinely span >24 mantissa bits (order-sensitive:
+    (h0+h2)+h1 != x for some elements), the fused dot must equal
+    (dot(h0)+dot(h1))+dot(h2) bit-for-bit, which in turn must equal the
+    original f32 values (one nonzero term per split, no accumulation
+    rounding).  A toolchain that reorders the reduction fails here, not
+    as a diffuse golden regression."""
+    import jax
+    from jax import lax
+
+    rng = np.random.default_rng(42)
+    n = 64
+    # Wide-exponent-range values maximise split spans; verify the
+    # worst-case property holds for at least some elements.
+    x = (rng.random((n, n), dtype=np.float32) *
+         np.float32(2.0) ** rng.integers(-12, 12, (n, n))).astype(np.float32)
+    h0 = x.astype(jnp.bfloat16)
+    r1 = x - np.asarray(h0, np.float32)
+    h1 = r1.astype(jnp.bfloat16)
+    h2 = (r1 - np.asarray(h1, np.float32)).astype(jnp.bfloat16)
+    exact = (np.asarray(h0, np.float32) + np.asarray(h1, np.float32)
+             ) + np.asarray(h2, np.float32)
+    np.testing.assert_array_equal(exact, x)          # split reconstructs
+    wrong_order = (np.asarray(h0, np.float32) + np.asarray(h2, np.float32)
+                   ) + np.asarray(h1, np.float32)
+    assert (wrong_order != x).any()                  # inputs ARE worst-case
+
+    onehot = np.eye(n, dtype=np.float32)[rng.permutation(n)].astype(
+        jnp.bfloat16)
+
+    @jax.jit
+    def fused(h0, h1, h2, onehot):
+        hcat = jnp.concatenate([h0, h1, h2], axis=1)
+        onehot3 = jnp.concatenate([onehot] * 3, axis=0)
+        return lax.dot_general(hcat, onehot3, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    @jax.jit
+    def summed(h0, h1, h2, onehot):
+        d = lambda h: lax.dot_general(h, onehot, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return (d(h0) + d(h1)) + d(h2)
+
+    got = np.asarray(fused(h0, h1, h2, onehot))
+    want = np.asarray(summed(h0, h1, h2, onehot))
+    np.testing.assert_array_equal(got, want)
+    # And both equal the gathered original values exactly.
+    np.testing.assert_array_equal(want, x @ np.asarray(onehot, np.float32))
