@@ -333,17 +333,31 @@ def asw_den_dres(wl_t, wr_t, radius: int, eps: float = 1e-5,
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret",
-                                             "max_shift"))
+                                             "max_shift", "io_padded"))
 def asw_hpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
                    interpret: bool = False, d0=0, den=None,
-                   max_shift: int | None = None, prep=None):
+                   max_shift: int | None = None, prep=None,
+                   io_padded: bool = False):
     """Horizontal pass, transposed: cost (D, W, H) -> (D, W, H).
 
     Taps walk W (sublanes): the cost window is two consecutive W-blocks
     of the R-edge-padded volume (w_b >= 2R).
-    """
-    D, W, H = cost_t.shape
+
+    io_padded=True (round 5, wavefront ladder glue cut): `cost_t` is
+    ALREADY the kernel's padded window layout (D, (n_x+1)*w_b, H_pad) —
+    the caller did the R-sublane edge pads itself, typically fused with
+    the previous pass's uncropped output — and the raw block-padded
+    (D, W_pad, H_pad) output is returned uncropped.  Kernel body, tap
+    order and valid-region values are identical; only the XLA pad/crop
+    glue moves to the caller (models/wavefront.py run_level), which
+    skips the crop copies entirely.  Real lane extent is taken from
+    wl_t (the unpadded weight strip)."""
     T = 2 * radius + 1
+    if io_padded:
+        D = cost_t.shape[0]
+        W, H = wl_t.shape[1], wl_t.shape[2]
+    else:
+        D, W, H = cost_t.shape
     ms = (D - 1) if max_shift is None else max_shift
     w_b = _w_block(radius, D, H)
     if w_b is None:
@@ -356,8 +370,14 @@ def asw_hpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
     wl, wru, H_pad, P, n_x, W_pad = _prep_or(prep, wl_t, wr_t, D, w_b,
                                              d0, ms)
     total = (n_x + 1) * w_b
-    cost_p = jnp.pad(cost_t, [(0, 0), (radius, total - W - radius),
-                              (0, H_pad - H)], mode="edge")
+    if io_padded:
+        if cost_t.shape != (D, total, H_pad):
+            raise ValueError(f"io_padded h-pass input {cost_t.shape} != "
+                             f"{(D, total, H_pad)}")
+        cost_p = cost_t
+    else:
+        cost_p = jnp.pad(cost_t, [(0, 0), (radius, total - W - radius),
+                                  (0, H_pad - H)], mode="edge")
     den_p = _den_padded(den, D, W_pad, H_pad, W, H)
     cspec = lambda k: pl.BlockSpec((D, w_b, H_pad),
                                    lambda i, k=k: (0, i + k, 0))
@@ -376,22 +396,31 @@ def asw_hpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
         interpret=interpret,
         **_params(interpret),
     )(wl, wru, cost_p, cost_p, den_p)
-    return out[:, :W, :H]
+    return out if io_padded else out[:, :W, :H]
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret",
-                                             "max_shift"))
+                                             "max_shift", "io_padded"))
 def asw_vpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
                    interpret: bool = False, d0=0, den=None,
-                   max_shift: int | None = None, prep=None):
+                   max_shift: int | None = None, prep=None,
+                   io_padded: bool = False):
     """Vertical pass, transposed: cost (D, W, H) -> (D, W, H).
 
     Taps walk H (lanes): static lane slices of the R-lane-padded cost
     block — the one relayout cost this schedule keeps (lane-dimension
     shifts are expensive on this hardware in any orientation).
-    """
-    D, W, H = cost_t.shape
+
+    io_padded=True: `cost_t` is already the kernel's padded layout
+    (D, W_pad, HL) with the data lanes at offset `radius` under the
+    caller's margin policy, and the raw (D, W_pad, H_pad) output is
+    returned uncropped (see asw_hpass_dres)."""
     T = 2 * radius + 1
+    if io_padded:
+        D = cost_t.shape[0]
+        W, H = wl_t.shape[1], wl_t.shape[2]
+    else:
+        D, W, H = cost_t.shape
     ms = (D - 1) if max_shift is None else max_shift
     w_b = _w_block(radius, D, H)
     if w_b is None:
@@ -404,8 +433,14 @@ def asw_vpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
     wl, wru, H_pad, P, n_x, W_pad = _prep_or(prep, wl_t, wr_t, D, w_b,
                                              d0, ms)
     HL = _mult(T - 1 + H_pad, 128)
-    cost_p = jnp.pad(cost_t, [(0, 0), (0, W_pad - W),
-                              (radius, HL - H - radius)], mode="edge")
+    if io_padded:
+        if cost_t.shape != (D, W_pad, HL):
+            raise ValueError(f"io_padded v-pass input {cost_t.shape} != "
+                             f"{(D, W_pad, HL)}")
+        cost_p = cost_t
+    else:
+        cost_p = jnp.pad(cost_t, [(0, 0), (0, W_pad - W),
+                                  (radius, HL - H - radius)], mode="edge")
     den_p = _den_padded(den, D, W_pad, H_pad, W, H)
     out = pl.pallas_call(
         functools.partial(_v_kernel, radius=radius, eps=eps, w_b=w_b,
@@ -422,7 +457,7 @@ def asw_vpass_dres(cost_t, wl_t, wr_t, radius: int, eps: float = 1e-5,
         interpret=interpret,
         **_params(interpret),
     )(wl, wru, cost_p, den_p)
-    return out[:, :W, :H]
+    return out if io_padded else out[:, :W, :H]
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret",
@@ -485,7 +520,14 @@ def asw_aggregate_dres(cost_t, wv_l_t, wv_r_t, wh_l_t, wh_r_t, radius: int,
                        interpret: bool = False):
     """r_iters x (vertical -> horizontal) in transposed layout, same
     wiring as main.cpp:492-515; denominators hoisted (value-identical —
-    the reference recomputes them every pass)."""
+    the reference recomputes them every pass).
+
+    (Round 5: chaining the kernels' io_padded entries here — as the
+    wavefront ladder does — was measured and REVERTED: at unaligned
+    heights the per-level bottom-clamp pin the full-frame semantics
+    need does not fuse away, and tsukuba dropped 411 -> 380 Mdisp/s.
+    The crop+pad form stands; the io_padded entries remain for the
+    wavefront, whose garbage-row ladder needs no per-level pin.)"""
     D = cost_t.shape[0]
     prep_v = dres_prepare(wv_l_t, wv_r_t, radius, D)
     prep_h = dres_prepare(wh_l_t, wh_r_t, radius, D)

@@ -345,7 +345,8 @@ def _wave_aggregate(lt, rt, strips_in, astrip_in, cfg: StereoConfig,
         if lim >= wlen2:
             return lvl
         rep = lax.slice_in_dim(lvl, lim - 1, lim, axis=2)
-        return jnp.where(jnp.arange(wlen2, dtype=jnp.int32) < lim, lvl, rep)
+        return jnp.where(jnp.arange(lvl.shape[2], dtype=jnp.int32) < lim,
+                         lvl, rep)
 
     def body(carry, d0):
         acc, strips_acc, astrip_acc = carry
@@ -360,28 +361,64 @@ def _wave_aggregate(lt, rt, strips_in, astrip_in, cfg: StereoConfig,
                              num_disp=chunk, max_shift=ms, prep=prep_h,
                              crop=False)
 
-        def run_level(inp):
-            v = asw_vpass_dres(inp, wv_l, wv_r, R, cfg.eps, interpret,
-                               d0=d0, den=den_v, max_shift=ms, prep=prep_v)
-            out = asw_hpass_dres(v, wh_l, wh_r, R, cfg.eps, interpret,
-                                 d0=d0, den=den_h, max_shift=ms, prep=prep_h)
-            return fix_bottom(out)
+        # io_padded ladder (round 5): the pass kernels take/return their
+        # raw block-padded layouts, and the inter-pass pad/crop pairs
+        # (v-pass HL input pad 38 ms + h-pass sublane pad 31 ms of crop
+        # copies per band, profiler-traced round 4) collapse to ONE
+        # fused pad per pass.  Margin equivalence: vin's lane margins
+        # replicate lane 0 / lane H_pad-1 of the UNCROPPED volume — the
+        # same real rows the cropped pads replicated on aligned extents
+        # (wlen2 = H_pad at config 3), and on unaligned extents the
+        # differing lanes [wlen2, H_pad) feed only the garbage region
+        # (level i's valid rows end at wlen2 - i*R and read no deeper
+        # than one R below; fix_bottom pins the frame-bottom clamp rows
+        # over the full padded lane extent).  hin rebuilds the sublane
+        # margins from the REAL x edges (horizontal clamp semantics).
+        W_pad = prep_v[0].shape[1]
+        n_x = prep_v[1].shape[0]
+        w_b = W_pad // n_x
+        total = W_pad + w_b
+        H_pad = -(-wlen2 // 128) * 128
+        HL = -(-(2 * R + H_pad) // 128) * 128
+
+        def vin(x):
+            return jnp.pad(x, [(0, 0), (0, W_pad - x.shape[1]),
+                               (R, HL - x.shape[2] - R)], mode="edge")
+
+        def hin(v):
+            return jnp.pad(lax.slice_in_dim(v, 0, W, axis=1),
+                           [(0, 0), (R, total - W - R), (0, 0)],
+                           mode="edge")
+
+        def run_level(inp_hl):
+            v = asw_vpass_dres(inp_hl, wv_l, wv_r, R, cfg.eps, interpret,
+                               d0=d0, den=den_v, max_shift=ms, prep=prep_v,
+                               io_padded=True)
+            out = asw_hpass_dres(hin(v), wh_l, wh_r, R, cfg.eps, interpret,
+                                 d0=d0, den=den_h, max_shift=ms,
+                                 prep=prep_h, io_padded=True)
+            return fix_bottom(out)          # (chunk, W_pad, H_pad)
 
         # Level 0 (SAD cost) — recomputed from the images (3 FLOPs per
         # element; not worth a strip), valid over the whole extent.
         cost = _rows(_cost_chunk(l3, ext, d0, chunk, Dp, W),
                      wg0, wg0 + wlen2, wg0, g1)
-        lvl1 = run_level(cost)
+        lvl1 = run_level(vin(cost))
 
         def level(lvl, x):
             # strip = previous band's level-(i-1) rows [lo_i - R, lo_i + R),
             # placed over exactly the lanes below level i-1's validity;
             # tail = THIS level's strip for the next band,
-            # [hi_i - 2R, hi_i), read from the fresh output.
+            # [hi_i - 2R, hi_i), read from the fresh output.  (A fused
+            # concat replacing the DUS + vin pad pair was tried in round
+            # 5 and measured SLOWER — lane-minor concatenate of five
+            # pieces lowers worse than the two bandwidth-bound copies:
+            # band 380 -> 368 Mdisp/s — reverted.)
             strip, off, tail_at = x
             inp = lax.dynamic_update_slice(lvl, strip, (0, 0, off))
-            out = run_level(inp)
-            return out, lax.dynamic_slice_in_dim(out, tail_at, 2 * R, axis=2)
+            out = run_level(vin(inp))
+            return out, lax.dynamic_slice_in_dim(
+                out, tail_at, 2 * R, axis=2)[:, :W]
 
         if r > 1:
             strips_chunk = lax.dynamic_slice(
@@ -392,7 +429,7 @@ def _wave_aggregate(lt, rt, strips_in, astrip_in, cfg: StereoConfig,
                 # Emitted strips are levels 1..r-1: level 1's tail (the
                 # peel) plus the scan's tails for levels 2..r-1.
                 lvl1_tail = lax.slice_in_dim(
-                    lvl1, r * R + N - 2 * R, r * R + N, axis=2)
+                    lvl1, r * R + N - 2 * R, r * R + N, axis=2)[:, :W]
                 out_strips = jnp.concatenate([lvl1_tail[None],
                                               tails[:r - 2]])
                 strips_acc = lax.dynamic_update_slice(
@@ -400,11 +437,13 @@ def _wave_aggregate(lt, rt, strips_in, astrip_in, cfg: StereoConfig,
         else:
             lvl = lvl1
         acc = lax.dynamic_update_slice(
-            acc, lax.slice_in_dim(lvl, R, R + n_agg, axis=2), (d0, 0, 0))
+            acc, lax.slice_in_dim(lvl, R, R + n_agg, axis=2)[:, :W],
+            (d0, 0, 0))
         if emit:
             astrip_acc = lax.dynamic_update_slice(
                 astrip_acc, lax.slice_in_dim(
-                    lvl, R + N - 2 * keep, R + N, axis=2), (d0, 0, 0))
+                    lvl, R + N - 2 * keep, R + N, axis=2)[:, :W],
+                (d0, 0, 0))
         return (acc, strips_acc, astrip_acc), None
 
     acc0 = jnp.zeros((Dp, W, n_agg), jnp.float32)
@@ -457,8 +496,11 @@ def asw_pipeline_wavefront(left, right, cfg: StereoConfig, num_bands: int,
                            interpret: bool = False, align: int = 128):
     """Banded ASW run with inter-band strip carry; returns
     (disparity, filled), bit-identical to the full-frame asw_pipeline on
-    the dres kernels.  Bands are synced before the next dispatch for the
-    same reason as models/tiled._run_banded (bounding live HBM)."""
+    the dres kernels.  Band b-1 is synced AFTER dispatching band b
+    (round 5, as models/wavefront_cross): at most two bands' transients
+    are live — the same HBM bound the eager per-band sync gave — while
+    the ~27 ms relay sync constant hides behind band b's execution; the
+    final concats queue behind the last band so one sync covers both."""
     H = left.shape[0]
     keep = _keep(cfg)
     geoms = plan_bands(H, num_bands, cfg, align)
@@ -469,6 +511,7 @@ def asw_pipeline_wavefront(left, right, cfg: StereoConfig, num_bands: int,
             f"windows); use models/tiled.asw_pipeline_tiled")
     pieces = []
     strips = astrip = None
+    prev = None
     for g in geoms:
         l_sl, r_sl = left[g.g0:g.g1], right[g.g0:g.g1]
         gc = _canon(g)
@@ -483,8 +526,11 @@ def asw_pipeline_wavefront(left, right, cfg: StereoConfig, num_bands: int,
         off = g.s - (0 if g.first else g.s - keep)
         piece = {k: lax.slice_in_dim(v, off, off + (g.e - g.s), axis=0)
                  for k, v in out.items()}
-        device_sync(piece["disparity"])
+        if prev is not None:
+            device_sync(prev)
+        prev = piece["disparity"]
         pieces.append(piece)
     disp = jnp.concatenate([p["disparity"] for p in pieces], axis=0)
     filled = jnp.concatenate([p["filled"] for p in pieces], axis=0)
+    device_sync(filled)
     return disp, filled

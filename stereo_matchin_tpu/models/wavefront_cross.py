@@ -351,7 +351,13 @@ def cross_pipeline_wavefront(left, right, cfg: StereoConfig,
             device_sync(prev)
         prev = out["final"]
         pieces.append(out)
-    device_sync(prev)
+    # Assemble BEFORE the final sync: the concats (two ~23 MB copies)
+    # queue behind the last band and the one remaining sync covers both,
+    # instead of paying the ~27 ms relay sync constant twice (round-5
+    # frame accounting, scratch/prof_frame_cross.py — the constant is a
+    # relay round-trip, so merging fetch points is the only way to
+    # shrink it).
     initial = jnp.concatenate([p["initial"] for p in pieces], axis=0)
     final = jnp.concatenate([p["final"] for p in pieces], axis=0)
+    device_sync(final)
     return initial, final
