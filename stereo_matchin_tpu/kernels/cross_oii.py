@@ -444,16 +444,21 @@ def oii_t_profitable(H: int, W: int) -> bool:
     and its sublane tap walk beats the grid kernel's per-tap lane roll
     2.55 -> 1.75 ps/tap-elem).
 
-    Area-inflation tolerance 1.2 (round 5): the FIRST config-3 wavefront
-    band has a 548-row temp window -> 640 padded lanes, ratio 1.16,
-    which the old 1.1 gate pushed onto the untransposed path at a
-    measured 64.6 + 10.4 ms (kernel + XLA cost-volume build) vs
-    ~30 ms transposed for an interior band (scratch/prof_band_first.py)
-    — the single largest item of the band->frame throughput gap.
-    tsukuba (ratio 1.33), where the untransposed path measured faster,
-    stays excluded."""
+    Area-inflation tolerance 1.4 (round 5, re-measured twice): the
+    FIRST config-3 wavefront band has a 548-row temp window -> 640
+    padded lanes, ratio 1.16, which the old 1.1 gate pushed onto the
+    untransposed path at a measured 64.6 + 10.4 ms (kernel + XLA
+    cost-volume build) vs ~30 ms transposed
+    (scratch/prof_band_first.py) — the single largest item of the
+    band->frame gap.  And tsukuba itself (ratio 1.33) — the shape the
+    original gate was calibrated on — now measures FASTER transposed:
+    0.652 vs 0.879 ms for SAD + h-pass, bit-equal (the round-4
+    zero-baked bounds + the direct transposed Pallas SAD builder
+    removed the costs that used to offset the +33% lane pad).  1.4
+    covers every reference shape; the VMEM term below remains the
+    real exclusion (full-height Middlebury-2014 frames)."""
     m8, m128 = (lambda x: -(-x // 8) * 8), (lambda x: -(-x // 128) * 128)
-    if m8(W) * m128(H) > 1.2 * m8(H) * m128(W):
+    if m8(W) * m128(H) > 1.4 * m8(H) * m128(W):
         return False
     # VMEM estimate matching the kernel's actual residency (round 5):
     # only the two RIGHT arm planes are fully resident ((W_pad + P + 8)
@@ -480,6 +485,40 @@ def cross_aggregate_pallas(cost, arms_l, arms_r, arm_len: int = 25,
     else:
         temp = oii_hpass_pallas(cost, arms_l, arms_r, arm_len, interpret, d0)
     return oii_vpass_pallas(temp, arms_l, arms_r, arm_len, interpret, d0)
+
+
+def cross_cost_aggregate_pallas(ml, mr, arms_l, arms_r, num_disp: int,
+                                arm_len: int = 25, interpret: bool = False):
+    """SAD cost volume + full OII aggregation from the (pre-medianed)
+    images, with the cost built DIRECTLY in the layout the h-pass
+    consumes (round 5).
+
+    When the transposed schedule is profitable, the Pallas SAD builder
+    emits (D, W, H) straight into the transposed h-pass — no full-volume
+    relayout between them (cross_aggregate_pallas starting from an
+    untransposed volume pays a (D, H, W) -> (D, W, H) copy inside
+    oii_hpass_pallas_t).  Values bit-identical to
+    sad_cost_volume + cross_aggregate(impl="taps"): measured on tsukuba
+    0.652 vs 0.879 ms for the SAD + h-pass pair, equal bits.  This is
+    the same wiring the wavefront cross band driver uses
+    (models/wavefront_cross.py)."""
+    from ..ops.cost import sad_cost_volume, sad_cost_volume_t
+    from .sad_volume import sad_volume_fits, sad_volume_t_pallas
+
+    H, W = ml.shape[:2]
+    if oii_t_profitable(H, W):
+        lt, rt = jnp.swapaxes(ml, 0, 1), jnp.swapaxes(mr, 0, 1)
+        if sad_volume_fits(num_disp, W, H):
+            cost_t = sad_volume_t_pallas(lt, rt, num_disp,
+                                         interpret=interpret)
+        else:
+            cost_t = sad_cost_volume_t(lt, rt, num_disp)
+        temp = oii_hpass_pallas_t(cost_t, arms_l, arms_r, arm_len,
+                                  interpret, transposed_in=True)
+    else:
+        cost = sad_cost_volume(ml, mr, num_disp)
+        temp = oii_hpass_pallas(cost, arms_l, arms_r, arm_len, interpret)
+    return oii_vpass_pallas(temp, arms_l, arms_r, arm_len, interpret)
 
 
 # --- adaptive cross arms -------------------------------------------------

@@ -42,9 +42,25 @@ def cross_pipeline_impl(left: jax.Array, right: jax.Array,
         mr = ops.median_dispatch_truncate(mr)
     arms_l = ops.cross_arms(ml, cfg.arm_len, cfg.tau, cfg.legacy_cross_arm_quirk)
     arms_r = ops.cross_arms(mr, cfg.arm_len, cfg.tau, cfg.legacy_cross_arm_quirk)
-    cost = ops.sad_cost_volume(ml, mr, cfg.num_disp)                # [0,1] scale
-    aggr = ops.cross_aggregate(cost, arms_l, arms_r, arm_len=cfg.arm_len,
-                               impl=cfg.oii_impl)
+    impl = cfg.oii_impl
+    if impl == "auto":
+        impl = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                else "prefix")
+    if impl == "pallas":
+        # Cost built directly in the layout the h-pass consumes (the
+        # transposed Pallas SAD builder when profitable) — bit-identical
+        # to sad_cost_volume + cross_aggregate, minus a full-volume
+        # relayout (round 5; same wiring as the wavefront band driver).
+        from ..kernels.cross_oii import cross_cost_aggregate_pallas
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        aggr = cross_cost_aggregate_pallas(ml, mr, arms_l, arms_r,
+                                           cfg.num_disp, cfg.arm_len,
+                                           interpret)
+    else:
+        cost = ops.sad_cost_volume(ml, mr, cfg.num_disp)            # [0,1] scale
+        aggr = ops.cross_aggregate(cost, arms_l, arms_r,
+                                   arm_len=cfg.arm_len, impl=impl)
     d0 = ops.wta_argmin(aggr)                                       # (H, W)
     initial = ops.disparity_to_image(d0, cfg.d_max, cfg.quantize_maps)  # UNORM8 image round-trip
     voted = ops.histogram_vote(initial, arms_l, cfg.d_max,
