@@ -166,3 +166,24 @@ def test_sad_volume_pallas_matches_jnp():
             lambda a, b, D=D: ops.sad_cost_volume_t(a, b, D))(lt, rt))
         got = np.asarray(sad_volume_t_pallas(lt, rt, D, interpret=True))
         np.testing.assert_array_equal(got, want, err_msg=f"{(W, H, D)}")
+
+
+@pytest.mark.parametrize("H,W,D,L", [(24, 20, 8, 3), (40, 33, 7, 2),
+                                     (20, 40, 5, 4)])
+def test_cross_cost_aggregate_pallas_matches_taps(rng, H, W, D, L):
+    """Round 5: the fused cost+aggregation entry (cost built directly in
+    the transposed layout when profitable) must equal sad_cost_volume +
+    cross_aggregate(taps) bit-for-bit — both gate outcomes are covered
+    by the shape spread (24x20 transposes profitably, 20x40 does not)."""
+    from stereo_matchin_tpu.kernels.cross_oii import (
+        cross_cost_aggregate_pallas)
+
+    left = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
+    right = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
+    arms_l = ops.cross_arms(left, arm_len=L, tau=0.35)
+    arms_r = ops.cross_arms(right, arm_len=L, tau=0.35)
+    want = ops.cross_aggregate(ops.sad_cost_volume(left, right, D),
+                               arms_l, arms_r, arm_len=L, impl="taps")
+    got = cross_cost_aggregate_pallas(left, right, arms_l, arms_r, D,
+                                      arm_len=L, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
