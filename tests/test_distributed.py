@@ -330,3 +330,29 @@ def test_sharded_asw_disp_and_row_across_processes():
     processes, so every halo ppermute rides DCN.  Both must be
     shard-exact against the single-device pipeline."""
     _run_two_workers(DISP_WORKER, "DISP_OK", timeout=420)
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_dryrun_bit_equality_under_alternate_xla_pipeline():
+    """Round 5: one row of the dryrun robustness matrix, pinned in the
+    suite — the 8-device sharded-vs-unsharded bit-equality assert
+    (__graft_entry__.dryrun_multichip) must hold under a DIFFERENT
+    XLA:CPU compilation pipeline (the thunk-runtime toggle changes the
+    codegen/fusion mix).  The round-4 RED multichip artifact was exactly
+    this class of failure: bit-equality that held in one compile
+    environment and broke in another (the x / d_max rescale story,
+    ops/common.py).  The full six-config matrix is
+    scratch/dryrun_matrix.py."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=8 "
+                        "--xla_cpu_use_thunk_runtime=false")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
